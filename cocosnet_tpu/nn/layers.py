@@ -1,0 +1,189 @@
+"""Functional building blocks: convolutions with torch-compatible padding,
+spectral-norm / equalized-LR weight reparameterisations, linear layers.
+
+TPU-first: NHWC activations, HWIO kernels (XLA's preferred conv layout on
+TPU), f32 parameters with an optional bf16 compute policy for MXU matmuls.
+
+Semantics-parity notes (citations into /root/reference):
+- xavier-normal init with gain=0.02 and zero bias mirrors
+  models/networks/base_network.py:39-52 (default --init_type xavier,
+  --init_variance 0.02, options/base_options.py:59-60).
+- spectral norm does one power iteration per *training* forward and carries
+  the left singular vector estimate `u` as explicit state, matching
+  torch.nn.utils.spectral_norm used at models/networks/architecture.py:48-51.
+  In JAX the state lives in a `spectral` variable collection instead of a
+  module attribute mutated in-place.
+- equalized LR rescales the weight by sqrt(2/fan_in) at each forward
+  (models/networks/normalization.py:243-266).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+
+
+def xavier_normal_init(gain: float = 0.02):
+    """torch.nn.init.xavier_normal_ for HWIO conv kernels / (in,out) dense."""
+    def init(key, shape, dtype=jnp.float32):
+        if len(shape) == 4:  # HWIO
+            kh, kw, cin, cout = shape
+            fan_in, fan_out = cin * kh * kw, cout * kh * kw
+        elif len(shape) == 2:  # (in, out)
+            fan_in, fan_out = shape
+        else:
+            raise ValueError(f"unsupported shape {shape}")
+        std = gain * (2.0 / (fan_in + fan_out)) ** 0.5
+        return std * jax.random.normal(key, shape, dtype)
+    return init
+
+
+def reflect_pad_2d(x: Array, pad: int) -> Array:
+    """nn.ReflectionPad2d on NHWC."""
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+
+
+def conv2d(x: Array, kernel: Array, bias: Optional[Array] = None, *,
+           stride: int = 1, padding: int = 0, dilation: int = 1,
+           compute_dtype=None) -> Array:
+    """torch F.conv2d semantics on NHWC input, HWIO kernel."""
+    orig_dtype = x.dtype
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        kernel = kernel.astype(compute_dtype)
+    y = jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    y = y.astype(orig_dtype if compute_dtype is None else jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def _l2_normalize(v: Array, eps: float = 1e-12) -> Array:
+    return v / (jnp.linalg.norm(v) + eps)
+
+
+class Conv2d(nn.Module):
+    """Plain conv with torch-style symmetric zero padding.
+
+    weight_norm: None | 'spectral' | 'equal_lr'  (architecture.py:40-51)
+    use_bias=False mirrors the reference deleting conv bias when a
+    parameter-free norm follows (normalization.py:41-45).
+    """
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    use_bias: bool = True
+    weight_norm: Optional[str] = None
+    init_gain: float = 0.02
+    compute_dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        cin = x.shape[-1]
+        k = self.kernel_size
+        kernel = self.param("kernel", xavier_normal_init(self.init_gain),
+                            (k, k, cin, self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+
+        if self.weight_norm == "spectral":
+            kernel = self._spectral_normalize(kernel)
+        elif self.weight_norm == "equal_lr":
+            # EqualLR: w * sqrt(2/fan_in), fan_in = cin*kh*kw
+            # (normalization.py:246-249)
+            fan_in = cin * k * k
+            kernel = kernel * jnp.sqrt(2.0 / fan_in).astype(kernel.dtype)
+
+        return conv2d(x, kernel, bias, stride=self.stride, padding=self.padding,
+                      dilation=self.dilation, compute_dtype=self.compute_dtype)
+
+    def _spectral_normalize(self, kernel: Array) -> Array:
+        # torch reshapes OIHW -> (O, I*kh*kw); our HWIO kernel transposes to
+        # OIHW first so converted checkpoints carry compatible `u` vectors.
+        k = self.kernel_size
+        cout = self.features
+        w_mat = jnp.transpose(kernel, (3, 2, 0, 1)).reshape(cout, -1)
+        u_var = self.variable("spectral", "u",
+                              lambda: _l2_normalize(
+                                  jax.random.normal(self.make_rng("params")
+                                                    if self.has_rng("params")
+                                                    else jax.random.PRNGKey(0),
+                                                    (cout,))))
+        u = u_var.value
+        # one power iteration (torch does this per training-mode forward)
+        v = _l2_normalize(jnp.matmul(w_mat.T, u))
+        u_new = _l2_normalize(jnp.matmul(w_mat, v))
+        u_ng = jax.lax.stop_gradient(u_new)
+        v_ng = jax.lax.stop_gradient(v)
+        if not self.is_initializing() and not self.is_mutable_collection("spectral"):
+            # eval mode: use the stored estimate without advancing it
+            v_ng = jax.lax.stop_gradient(_l2_normalize(jnp.matmul(w_mat.T, u)))
+            u_ng = jax.lax.stop_gradient(u)
+        sigma = jnp.vdot(u_ng, jnp.matmul(w_mat, v_ng))
+        if self.is_mutable_collection("spectral") and not self.is_initializing():
+            u_var.value = u_ng
+        return kernel / sigma
+
+
+class Dense(nn.Module):
+    features: int
+    use_bias: bool = True
+    weight_norm: Optional[str] = None
+    init_gain: float = 0.02
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        cin = x.shape[-1]
+        kernel = self.param("kernel", xavier_normal_init(self.init_gain),
+                            (cin, self.features))
+        if self.weight_norm == "spectral":
+            w_mat = kernel.T  # (out, in), torch layout
+            u_var = self.variable("spectral", "u",
+                                  lambda: _l2_normalize(
+                                      jax.random.normal(jax.random.PRNGKey(0),
+                                                        (self.features,))))
+            u = u_var.value
+            v = _l2_normalize(jnp.matmul(w_mat.T, u))
+            u_new = _l2_normalize(jnp.matmul(w_mat, v))
+            u_ng = jax.lax.stop_gradient(u_new)
+            v_ng = jax.lax.stop_gradient(v)
+            sigma = jnp.vdot(u_ng, jnp.matmul(w_mat, v_ng))
+            if self.is_mutable_collection("spectral") and not self.is_initializing():
+                u_var.value = u_ng
+            kernel = kernel / sigma
+        elif self.weight_norm == "equal_lr":
+            kernel = kernel * jnp.sqrt(2.0 / cin).astype(kernel.dtype)
+        y = jnp.matmul(x, kernel, preferred_element_type=jnp.float32)
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+        return y
+
+
+class PReLU(nn.Module):
+    """nn.PReLU with a single shared slope, init 0.25 (torch default);
+    used by the correspondence residual stack (correspondence.py:20)."""
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        a = self.param("alpha", nn.initializers.constant(0.25), ())
+        return jnp.where(x >= 0, x, a * x)
+
+
+def leaky_relu(x: Array, slope: float = 0.2) -> Array:
+    return jnp.where(x >= 0, x, slope * x)

@@ -1,0 +1,80 @@
+"""Dense-correspondence attention: out = softmax(q @ k^T / tau) @ v.
+
+This is the hot object of CoCosNet (SURVEY §2.5): at 256px with down=4 the
+logits matrix is 4096x4096 per sample (correspondence.py:291-318), and the
+same matrix is reused row-softmaxed (warp, direct warp-mask, cycle second hop)
+and column-softmaxed (cycle first hop, warp_cycle, two_cycle). Column softmax
+of S is row softmax of S^T, i.e. attend(k-side as queries), so one primitive
+covers every path:
+
+    row  pass: attend(theta, phi, V_row)
+    col  pass: attend(phi, theta, V_col)
+
+Two implementations:
+- `attend_reference`: naive jnp, materializes the full logits matrix. Used as
+  the correctness oracle and as the fallback on CPU.
+- `attend_pallas` (ops/pallas_corr.py): fused streaming kernel that never
+  writes the NxM matrix to HBM, with a flash-attention-style custom VJP.
+
+The correlation matmul runs in f32 with HIGHEST precision: logits are divided
+by temperature=0.01 (correspondence.py:304), so bf16 matmul error (~4e-3)
+would be amplified 100x before the exp.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def attend_reference(q: Array, k: Array, v: Array, tau: float) -> Array:
+    """softmax(q k^T / tau, axis=-1) @ v.   q:(B,N,C) k:(B,M,C) v:(B,M,D)."""
+    s = jnp.einsum("bnc,bmc->bnm", q, k,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST) / tau
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bnm,bmd->bnd", p, v.astype(jnp.float32),
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def correlation_matrix(q: Array, k: Array, tau: float) -> Array:
+    """Raw scaled logits (return_corr path, correspondence.py:305-306)."""
+    s = jnp.einsum("bnc,bmc->bnm", q, k,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    return s / tau
+
+
+def wta_scale(f: Array, scale: float = 1e-4) -> Array:
+    """Winner-take-all scaling with straight-through-ish gradient
+    (correspondence.py:38-77): forward keeps the row max, multiplies the rest
+    by `scale`; backward scales non-max grads by the same factor."""
+    @jax.custom_vjp
+    def _wta(x):
+        m = jnp.max(x, axis=-1, keepdims=True)
+        return jnp.where(x == m, x, x * scale)
+
+    def _fwd(x):
+        m = jnp.max(x, axis=-1, keepdims=True)
+        mask = (x == m)
+        return jnp.where(mask, x, x * scale), mask
+
+    def _bwd(mask, g):
+        return (jnp.where(mask, g, g * scale),)
+
+    _wta.defvjp(_fwd, _bwd)
+    return _wta(f)
+
+
+def attend(q: Array, k: Array, v: Array, tau: float,
+           use_pallas: bool = True) -> Array:
+    """Dispatch to the fused Pallas kernel on TPU, naive jnp elsewhere."""
+    if use_pallas:
+        from cocosnet_tpu.ops.pallas_corr import attend_pallas_padded
+        return attend_pallas_padded(q, k, v, tau)
+    return attend_reference(q, k, v, tau)
