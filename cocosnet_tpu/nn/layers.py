@@ -76,6 +76,33 @@ def _l2_normalize(v: Array, eps: float = 1e-12) -> Array:
     return v / (jnp.linalg.norm(v) + eps)
 
 
+def _spectral_sigma(mod: nn.Module, w_mat: Array) -> Array:
+    """Spectral-norm sigma with torch-compatible state semantics.
+
+    Train (the `spectral` collection is mutable): one power iteration per
+    forward, u and v stored. Eval: sigma from the *stored* u and v without
+    advancing them — exactly torch.nn.utils.spectral_norm.
+    """
+    cout, cin_flat = w_mat.shape
+
+    def _init(shape, seed):
+        return _l2_normalize(jax.random.normal(jax.random.PRNGKey(seed), shape))
+
+    u_var = mod.variable("spectral", "u", lambda: _init((cout,), 0))
+    v_var = mod.variable("spectral", "v", lambda: _init((cin_flat,), 1))
+    training = mod.is_mutable_collection("spectral") and not mod.is_initializing()
+    if training:
+        v = _l2_normalize(jnp.matmul(w_mat.T, u_var.value))
+        u = _l2_normalize(jnp.matmul(w_mat, v))
+        u = jax.lax.stop_gradient(u)
+        v = jax.lax.stop_gradient(v)
+        u_var.value = u
+        v_var.value = v
+    else:
+        u, v = u_var.value, v_var.value
+    return jnp.vdot(u, jnp.matmul(w_mat, v))
+
+
 class Conv2d(nn.Module):
     """Plain conv with torch-style symmetric zero padding.
 
@@ -116,29 +143,9 @@ class Conv2d(nn.Module):
     def _spectral_normalize(self, kernel: Array) -> Array:
         # torch reshapes OIHW -> (O, I*kh*kw); our HWIO kernel transposes to
         # OIHW first so converted checkpoints carry compatible `u` vectors.
-        k = self.kernel_size
         cout = self.features
         w_mat = jnp.transpose(kernel, (3, 2, 0, 1)).reshape(cout, -1)
-        u_var = self.variable("spectral", "u",
-                              lambda: _l2_normalize(
-                                  jax.random.normal(self.make_rng("params")
-                                                    if self.has_rng("params")
-                                                    else jax.random.PRNGKey(0),
-                                                    (cout,))))
-        u = u_var.value
-        # one power iteration (torch does this per training-mode forward)
-        v = _l2_normalize(jnp.matmul(w_mat.T, u))
-        u_new = _l2_normalize(jnp.matmul(w_mat, v))
-        u_ng = jax.lax.stop_gradient(u_new)
-        v_ng = jax.lax.stop_gradient(v)
-        if not self.is_initializing() and not self.is_mutable_collection("spectral"):
-            # eval mode: use the stored estimate without advancing it
-            v_ng = jax.lax.stop_gradient(_l2_normalize(jnp.matmul(w_mat.T, u)))
-            u_ng = jax.lax.stop_gradient(u)
-        sigma = jnp.vdot(u_ng, jnp.matmul(w_mat, v_ng))
-        if self.is_mutable_collection("spectral") and not self.is_initializing():
-            u_var.value = u_ng
-        return kernel / sigma
+        return kernel / _spectral_sigma(self, w_mat)
 
 
 class Dense(nn.Module):
@@ -153,20 +160,7 @@ class Dense(nn.Module):
         kernel = self.param("kernel", xavier_normal_init(self.init_gain),
                             (cin, self.features))
         if self.weight_norm == "spectral":
-            w_mat = kernel.T  # (out, in), torch layout
-            u_var = self.variable("spectral", "u",
-                                  lambda: _l2_normalize(
-                                      jax.random.normal(jax.random.PRNGKey(0),
-                                                        (self.features,))))
-            u = u_var.value
-            v = _l2_normalize(jnp.matmul(w_mat.T, u))
-            u_new = _l2_normalize(jnp.matmul(w_mat, v))
-            u_ng = jax.lax.stop_gradient(u_new)
-            v_ng = jax.lax.stop_gradient(v)
-            sigma = jnp.vdot(u_ng, jnp.matmul(w_mat, v_ng))
-            if self.is_mutable_collection("spectral") and not self.is_initializing():
-                u_var.value = u_ng
-            kernel = kernel / sigma
+            kernel = kernel / _spectral_sigma(self, kernel.T)  # torch (out, in)
         elif self.weight_norm == "equal_lr":
             kernel = kernel * jnp.sqrt(2.0 / cin).astype(kernel.dtype)
         y = jnp.matmul(x, kernel, preferred_element_type=jnp.float32)
