@@ -1,0 +1,250 @@
+"""Cross-domain correspondence network (reference correspondence.py:148-374).
+
+Computes dense correspondence between the input semantic layout and the
+exemplar photo, then warps the exemplar (and optionally its mask / cycle
+targets) through softmax attention over the HW x HW correlation.
+
+TPU-native structure: instead of materializing the 4096x4096 correlation and
+re-multiplying it per output (correspondence.py:291-372), every warp is an
+`attend(q, k, V)` call where row-softmax paths share one V matrix and
+column-softmax paths run the same kernel with q/k swapped:
+
+    row pass V  = [ref_rgb | ref_onehot(direct mask)]            (one kernel)
+    col pass V  = [seg(cycle mask) | y(warp_cycle) | real(two_cycle)]
+    row pass 2  = [warp_mask_to_ref | warp_i2r]                  (cycle hops)
+
+The fused Pallas kernel is used when the descriptor dim fits VMEM-resident
+keys (match_kernel=1 -> C=256); the 2304-dim unfolded descriptors
+(match_kernel=3) currently take the XLA path.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from cocosnet_tpu.config import Options
+from cocosnet_tpu.models.generator import AdaptiveFeatureGenerator
+from cocosnet_tpu.nn.blocks import ResidualBlock
+from cocosnet_tpu.nn.layers import Conv2d
+from cocosnet_tpu.ops import image as I
+from cocosnet_tpu.ops.correlation import attend, attend_reference, wta_scale
+from cocosnet_tpu.ops.image import resize_nearest
+
+Array = jax.Array
+
+_EPS = sys.float_info.epsilon
+
+
+def safe_l2_norm(x: Array, axis=-1, keepdims=True) -> Array:
+    """sqrt(sum(x^2) + tiny): forward-identical to torch.norm at any healthy
+    magnitude, but with a finite gradient at exactly-zero vectors (which
+    torch's pretrained VGG never produces, but random init can)."""
+    return jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=keepdims) + 1e-24)
+
+
+def feature_normalize(x: Array) -> Array:
+    """util/util.py:31-34 — L2 normalize over the channel dim (NHWC)."""
+    return x / (safe_l2_norm(x) + _EPS)
+
+
+def add_coords(x: Array) -> Array:
+    """CoordConv xx/yy/rr channels (correspondence.py:202-220), NHWC."""
+    n, h, w, c = x.shape
+    xx = jnp.broadcast_to(jnp.arange(w, dtype=x.dtype)[None, None, :, None],
+                          (n, h, w, 1)) / (w - 1)
+    yy = jnp.broadcast_to(jnp.arange(h, dtype=x.dtype)[None, :, None, None],
+                          (n, h, w, 1)) / (h - 1)
+    xx = 2 * xx - 1
+    yy = 2 * yy - 1
+    rr = jnp.sqrt(xx ** 2 + yy ** 2)
+    return jnp.concatenate([x, xx, yy, rr], axis=-1)
+
+
+class CorrespondenceNet(nn.Module):
+    """NoVGGCorrespondence (correspondence.py:148-374)."""
+    opt: Options
+
+    def _descriptor(self, feat: Array, name: str) -> Array:
+        """theta/phi 1x1 conv -> (B, N, C'), centered + L2 normalized
+        (correspondence.py:272-289)."""
+        opt = self.opt
+        inter = 256
+        y = Conv2d(inter, 1, padding=0, name=name)(feat)
+        b, h, w, c = y.shape
+        if opt.match_kernel == 1:
+            desc = y.reshape(b, h * w, c)
+        else:
+            desc = I.unfold_descriptors(y, opt.match_kernel)  # (B, N, C*k*k)
+        # PONO_C centers over the descriptor dim, else over spatial positions
+        # (torch dim 1 == channels in (B, C', N) layout; dim -1 == positions)
+        if opt.PONO_C:
+            desc = desc - jnp.mean(desc, axis=-1, keepdims=True)
+        else:
+            desc = desc - jnp.mean(desc, axis=1, keepdims=True)
+        return desc / (safe_l2_norm(desc) + _EPS)
+
+    @nn.compact
+    def __call__(self,
+                 ref_img: Array,
+                 real_img: Optional[Array],
+                 seg_map: Array,
+                 ref_seg_map: Array,
+                 temperature: float = 0.01,
+                 detach_flag: bool = False,
+                 WTA_scale_weight: float = 1.0,
+                 train: bool = True,
+                 return_corr: bool = False) -> Dict[str, Array]:
+        opt = self.opt
+        out: Dict[str, Array] = {}
+        b, ih, iw, _ = ref_img.shape
+        fh, fw = ih // opt.down, iw // opt.down
+        n = fh * fw
+
+        # 1. optional mask noise (correspondence.py:239-244)
+        if opt.mask_noise and train:
+            noise = jax.random.normal(self.make_rng("noise"), seg_map.shape,
+                                      seg_map.dtype) * 0.1
+            seg_input = seg_map + jnp.where(seg_map == 0, 0.0, noise)
+        else:
+            seg_input = seg_map
+
+        # 2. domain adaptors + channel L2 norm (correspondence.py:245-248)
+        adaptor_seg = AdaptiveFeatureGenerator(opt, opt.semantic_nc,
+                                               name="adaptive_model_seg")
+        adaptor_img = AdaptiveFeatureGenerator(opt, 3,
+                                               name="adaptive_model_img")
+        feat_seg = feature_normalize(adaptor_seg(seg_input, seg_input, train))
+        feat_img = feature_normalize(adaptor_img(ref_img, ref_img, train))
+        out["adaptive_feature_seg"] = feat_seg
+        out["adaptive_feature_img"] = feat_img
+
+        # 3. train-only domain-alignment pair loss (correspondence.py:249-252)
+        if train and opt.novgg_featpair > 0 and real_img is not None:
+            feat_pair = feature_normalize(adaptor_img(real_img, real_img, train))
+            out["loss_novgg_featpair"] = (
+                jnp.mean(jnp.abs(feat_seg - feat_pair)) * opt.novgg_featpair)
+
+        if opt.use_coordconv:
+            feat_seg = add_coords(feat_seg)
+            feat_img = add_coords(feat_img)
+
+        # 4. maskmix + shared residual stack (correspondence.py:258-269)
+        seg_small = resize_nearest(seg_map, fh, fw)
+        ref_seg_small = resize_nearest(ref_seg_map, fh, fw)
+        channels = feat_seg.shape[-1] + (opt.semantic_nc if opt.maskmix else 0)
+        layer = nn.Sequential([ResidualBlock(channels, name=f"layer_{i}")
+                               for i in range(4)])
+        if opt.maskmix:
+            cont_features = layer(jnp.concatenate([feat_seg, seg_small], -1))
+            use_noise_for_mask = opt.noise_for_mask and (
+                (not train) or (train and opt.epoch > opt.mask_epoch))
+            if use_noise_for_mask:
+                rng = (self.make_rng("noise") if train
+                       else jax.random.PRNGKey(0))
+                noise = jax.random.normal(rng, ref_seg_small.shape,
+                                          ref_seg_small.dtype) * 0.01
+                ref_features = layer(jnp.concatenate([feat_img, noise], -1))
+            else:
+                ref_features = layer(
+                    jnp.concatenate([feat_img, ref_seg_small], -1))
+        else:
+            cont_features = layer(feat_seg)
+            ref_features = layer(feat_img)
+
+        # 5. descriptors (correspondence.py:272-289)
+        theta = self._descriptor(cont_features, "theta")   # (B, N, C')
+        phi = self._descriptor(ref_features, "phi")        # (B, N, C')
+        if detach_flag:
+            theta = jax.lax.stop_gradient(theta)
+            phi = jax.lax.stop_gradient(phi)
+
+        use_pallas = (opt.use_pallas and theta.shape[-1] % 128 == 0
+                      and theta.shape[-1] <= 1024)
+
+        if WTA_scale_weight != 1 or return_corr:
+            # explicit-matrix path for WTA scaling / correlation dumps
+            f = jnp.einsum("bnc,bmc->bnm", theta, phi,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+            if WTA_scale_weight != 1:
+                f = wta_scale(f, WTA_scale_weight)
+            f = f / temperature
+            if return_corr:
+                out["corr"] = f
+                return out
+            f_div_c = jax.nn.softmax(f, axis=-1)
+            f_div_c_v = jax.nn.softmax(jnp.swapaxes(f, 1, 2), axis=-1)
+
+            def row_attend(v):
+                return jnp.einsum("bnm,bmd->bnd", f_div_c, v)
+
+            def col_attend(v):
+                return jnp.einsum("bmn,bnd->bmd", f_div_c_v, v)
+        else:
+            def row_attend(v):
+                return attend(theta, phi, v, temperature, use_pallas)
+
+            def col_attend(v):
+                return attend(phi, theta, v, temperature, use_pallas)
+
+        # 6. warp the exemplar colors (correspondence.py:310-327)
+        if opt.warp_patch:
+            ref_v = I.space_to_patches(ref_img, opt.down)      # (B,N,3*d*d)
+        else:
+            ref_flat = I.avg_pool(ref_img, opt.down)
+            ref_v = ref_flat.reshape(b, n, 3)
+
+        need_direct_mask = opt.warp_mask_losstype == "direct" or opt.show_warpmask
+        row_values = [ref_v]
+        if need_direct_mask:
+            ref_seg_v = ref_seg_small.reshape(b, n, -1)
+            row_values.append(ref_seg_v)
+        row_out = row_attend(jnp.concatenate(row_values, -1)
+                             if len(row_values) > 1 else row_values[0])
+        y_flat = row_out[..., : ref_v.shape[-1]]
+
+        if opt.warp_patch:
+            y = I.patches_to_space(y_flat, opt.down, ih, iw)
+            out["warp_out"] = y
+            if (not train) and opt.show_corr:
+                out["warp_out_bi"] = y
+        else:
+            y = y_flat.reshape(b, fh, fw, 3)
+            out["warp_out"] = (I.upsample_bilinear(y, opt.down)
+                               if opt.warp_bilinear
+                               else I.upsample_nearest(y, opt.down))
+            if (not train) and opt.show_corr:
+                out["warp_out_bi"] = I.upsample_bilinear(y, opt.down)
+
+        # 7. warped mask for the mask loss (correspondence.py:329-348)
+        if need_direct_mask:
+            wm = row_out[..., ref_v.shape[-1]:]
+            out["warp_mask"] = wm.reshape(b, fh, fw, -1)
+        elif opt.warp_mask_losstype == "cycle":
+            seg_v = seg_small.reshape(b, n, -1)
+            warp_mask_to_ref = col_attend(seg_v)
+            wm = row_attend(warp_mask_to_ref)
+            out["warp_mask"] = wm.reshape(b, fh, fw, -1)
+
+        # 8. cycle warps (correspondence.py:350-372)
+        if opt.warp_cycle_w > 0:
+            if opt.warp_patch:
+                y_patches = I.space_to_patches(y, opt.down)
+                wc = col_attend(y_patches)
+                out["warp_cycle"] = I.patches_to_space(wc, opt.down, ih, iw)
+            else:
+                wc = col_attend(y.reshape(b, n, 3))
+                out["warp_cycle"] = wc.reshape(b, fh, fw, 3)
+                if opt.two_cycle and real_img is not None:
+                    real_small = I.avg_pool(real_img, opt.down).reshape(b, n, 3)
+                    warp_i2r = col_attend(real_small)
+                    out["warp_i2r"] = warp_i2r.reshape(b, fh, fw, 3)
+                    warp_i2r2i = row_attend(warp_i2r)
+                    out["warp_i2r2i"] = warp_i2r2i.reshape(b, fh, fw, 3)
+
+        return out

@@ -76,7 +76,7 @@ def _l2_normalize(v: Array, eps: float = 1e-12) -> Array:
     return v / (jnp.linalg.norm(v) + eps)
 
 
-def _spectral_sigma(mod: nn.Module, w_mat: Array) -> Array:
+def _spectral_sigma(mod: nn.Module, w_mat: Array, prefix: str = "") -> Array:
     """Spectral-norm sigma with torch-compatible state semantics.
 
     Train (the `spectral` collection is mutable): one power iteration per
@@ -88,8 +88,8 @@ def _spectral_sigma(mod: nn.Module, w_mat: Array) -> Array:
     def _init(shape, seed):
         return _l2_normalize(jax.random.normal(jax.random.PRNGKey(seed), shape))
 
-    u_var = mod.variable("spectral", "u", lambda: _init((cout,), 0))
-    v_var = mod.variable("spectral", "v", lambda: _init((cin_flat,), 1))
+    u_var = mod.variable("spectral", prefix + "u", lambda: _init((cout,), 0))
+    v_var = mod.variable("spectral", prefix + "v", lambda: _init((cin_flat,), 1))
     training = mod.is_mutable_collection("spectral") and not mod.is_initializing()
     if training:
         v = _l2_normalize(jnp.matmul(w_mat.T, u_var.value))

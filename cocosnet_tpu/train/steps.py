@@ -1,0 +1,143 @@
+"""Jitted train / inference steps.
+
+One fused `train_step` implements the reference's per-iteration schedule
+(train.py:54-58, pix2pix_trainer.py:52-74): generator forward + all 11 loss
+terms + Adam update on netG+netCorr, then the discriminator hinge update
+reusing the same fake (detached), then the EMA shadow update. Under pjit with
+the batch sharded over the `data` mesh axis this single program contains the
+cross-replica gradient reductions — the DataParallel scatter/gather and
+SyncBN callbacks of the reference dissolve into XLA collectives.
+
+Deviation noted for parity: torch advances every spectral-norm power
+iteration on each *forward* (so D's u advances twice per iteration — once in
+the G step's discriminate, once in the D step). Here D's u advances once per
+iteration, in the D step; G/Corr's advance once in the G step, identical to
+torch. The power iteration is a running estimator, so this changes nothing
+measurable.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cocosnet_tpu import pix2pix as P
+from cocosnet_tpu.config import Options
+from cocosnet_tpu.train import state as S
+
+Vars = Dict[str, Any]
+
+
+def _merge_updates(variables: Dict[str, Vars], updates: Dict[str, Vars]):
+    out = dict(variables)
+    for k, upd in updates.items():
+        out[k] = {**out[k], **upd}
+    return out
+
+
+def _set_params(variables: Dict[str, Vars], params: Dict[str, Any]):
+    out = dict(variables)
+    for k, p in params.items():
+        out[k] = {**out[k], "params": p}
+    return out
+
+
+def make_train_step(nets: P.Pix2PixNets):
+    opt = nets.opt
+    tx_g, tx_d = S.make_optimizers(opt)
+
+    def train_step(state: S.TrainState, batch: Dict[str, jax.Array],
+                   lr: jax.Array):
+        data = P.preprocess_input(opt, batch)
+        noise_rng, key = jax.random.split(state.noise_rng)
+        variables = state.variables
+
+        # ---------------- generator step --------------------------------
+        def g_loss_fn(gp):
+            vars_g = _set_params(variables, gp)
+            out, updates = P.generate_fake(nets, vars_g, data, train=True,
+                                           rngs={"noise": key}, mutable=True)
+            out["ref_features"] = P.vgg_features(nets, variables["vgg"],
+                                                 data["ref_image"])
+            out["real_features"] = P.vgg_features(nets, variables["vgg"],
+                                                  data["real_image"])
+            losses = P.compute_generator_losses(nets, vars_g, data, out,
+                                                variables["disc"])
+            total = sum(losses.values())
+            return total, (losses, out, updates)
+
+        (_, (g_losses, gen_out, g_updates)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(S.g_params(variables))
+
+        variables = _merge_updates(variables, g_updates)
+        opt_g = optax.tree_utils.tree_set(state.opt_g,
+                                          learning_rate=S.g_lr(opt, lr))
+        g_up, opt_g = tx_g.update(g_grads, opt_g, S.g_params(variables))
+        new_gp = optax.apply_updates(S.g_params(variables), g_up)
+        variables = _set_params(variables, new_gp)
+
+        ema = state.ema
+        if opt.use_ema:
+            ema = S.ema_update(ema, new_gp, opt.ema_beta)
+
+        # ---------------- discriminator step ----------------------------
+        def d_loss_fn(dp):
+            vars_d = _set_params(variables, dp)
+            # advance D's spectral power iteration inside its own step
+            pred_fake, pred_real, _, d_updates = P.discriminate(
+                nets, vars_d["disc"], data["input_semantics"],
+                jax.lax.stop_gradient(gen_out["fake_image"]),
+                data["real_image"], train=True, mutable=True)
+            from cocosnet_tpu.losses.gan import gan_loss
+            losses = {
+                "D_Fake": gan_loss(pred_fake, False, True,
+                                   opt.gan_mode) * opt.weight_gan,
+                "D_real": gan_loss(pred_real, True, True,
+                                   opt.gan_mode) * opt.weight_gan,
+            }
+            return sum(losses.values()), (losses, d_updates)
+
+        (_, (d_losses, d_updates)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(S.d_params(variables))
+        if d_updates:
+            variables = _merge_updates(variables, {"disc": d_updates})
+        opt_d = optax.tree_utils.tree_set(state.opt_d,
+                                          learning_rate=S.d_lr(opt, lr))
+        d_up, opt_d = tx_d.update(d_grads, opt_d, S.d_params(variables))
+        new_dp = optax.apply_updates(S.d_params(variables), d_up)
+        variables = _set_params(variables, new_dp)
+
+        new_state = S.TrainState(
+            step=state.step + 1,
+            variables=variables,
+            opt_g=opt_g,
+            opt_d=opt_d,
+            ema=ema,
+            noise_rng=noise_rng,
+        )
+        metrics = {**g_losses, **d_losses}
+        visuals = {
+            "fake_image": gen_out["fake_image"],
+            "warp_out": gen_out.get("warp_out"),
+            "warp_mask": gen_out.get("warp_mask"),
+        }
+        return new_state, metrics, visuals
+
+    return train_step
+
+
+def make_inference_step(nets: P.Pix2PixNets):
+    opt = nets.opt
+
+    @jax.jit
+    def inference_step(variables: Dict[str, Vars], batch):
+        data = P.preprocess_input(opt, batch)
+        out = P.inference(nets, variables, data)
+        return {"fake_image": out["fake_image"],
+                "warp_out": out.get("warp_out")}
+
+    return inference_step
