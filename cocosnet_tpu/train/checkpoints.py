@@ -1,0 +1,141 @@
+"""Checkpoint save/load (orbax) + PyTorch checkpoint import.
+
+Reference: per-network `<epoch>_net_<label>.pth` state_dicts with tolerant
+loading (util/util.py:226-250), optimizer.pth (pix2pix_trainer.py:95-99).
+Here the whole TrainState (all nets' variables, both optax states, EMA,
+step) is one orbax checkpoint per epoch label; `import_torch_checkpoints`
+converts released reference .pth files into our variable pytrees
+(NCHW->HWIO kernels, spectral weight_orig/u/v carried over) so released
+CoCosNet models run on TPU unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Vars = Dict[str, Any]
+
+
+# ------------------------------------------------------------------ orbax
+
+def _ckpt_dir(opt, label: str) -> str:
+    return os.path.abspath(
+        os.path.join(opt.checkpoints_dir, opt.name, f"state_{label}"))
+
+
+def save_state(opt, state, label: str) -> None:
+    import orbax.checkpoint as ocp
+    path = _ckpt_dir(opt, label)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_state(opt, like_state, label: str):
+    import orbax.checkpoint as ocp
+    path = _ckpt_dir(opt, label)
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(path, like_state)
+    return restored
+
+
+# ----------------------------------------------------- torch .pth import
+
+def _to_hwio(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: v.numpy() for k, v in sd.items()}
+
+
+def _set(tree: Dict, keys, value) -> None:
+    node = tree
+    for k in keys[:-1]:
+        node = node.setdefault(k, {})
+    node[keys[-1]] = jnp.asarray(value)
+
+
+def convert_torch_module(sd: Dict[str, np.ndarray],
+                         name_map) -> Dict[str, Dict]:
+    """Generic converter: name_map maps torch parameter names to
+    (collection, path tuple, transform) entries; unmapped names are skipped
+    (the reference loads with strict=False likewise, util.py:246-249)."""
+    out: Dict[str, Dict] = {"params": {}, "spectral": {}, "batch_stats": {}}
+    for tname, value in sd.items():
+        entry = name_map(tname, value)
+        if entry is None:
+            continue
+        collection, path, transform = entry
+        _set(out[collection], path, transform(value))
+    return {k: v for k, v in out.items() if v}
+
+
+def default_name_map(tname: str, value: np.ndarray):
+    """Maps torch names to our flax trees for modules whose flax names mirror
+    the torch module names (VGG, generator blocks, correspondence, ...).
+
+    Handles: weight/bias, spectral weight_orig/weight_u/weight_v, PReLU
+    weight, BN running stats, attention gamma, Sequential indices for
+    norm-wrapped convs (('layer1', '0') -> ('layer1', 'conv')) and SPADE
+    mlp_shared (('mlp_shared', '1') -> ('mlp_shared',)).
+    """
+    parts = tname.split(".")
+    leaf = parts[-1]
+    path = parts[:-1]
+
+    # Sequential index fixups
+    fixed = []
+    for i, p in enumerate(path):
+        if p.isdigit():
+            prev = path[i - 1] if i else ""
+            if prev == "layer":
+                # corr residual stack: layer.0 -> layer_0
+                fixed[-1:] = [f"layer_{p}"]
+            elif prev.startswith("layer") or prev.startswith("degridding"):
+                # norm-wrapped conv Sequential: layer1.0 -> layer1.conv
+                fixed.append("conv")
+            elif prev == "mlp_shared":
+                pass  # mlp_shared.1 (conv) -> mlp_shared
+            else:
+                fixed.append(p)
+        else:
+            fixed.append(p)
+    path = fixed
+
+    if leaf == "weight":
+        if value.ndim == 4:
+            return ("params", path + ["kernel"], _to_hwio)
+        if value.ndim == 2:
+            return ("params", path + ["kernel"], lambda v: v.T)
+        if value.ndim == 0 or (value.ndim == 1 and value.size == 1):
+            # PReLU slope
+            return ("params", path + ["alpha"], lambda v: np.squeeze(v))
+        # 1-D affine norm weight
+        return ("params", path + ["scale"], lambda v: v)
+    if leaf == "bias":
+        return ("params", path + ["bias"], lambda v: v)
+    if leaf == "weight_orig":
+        if value.ndim == 4:
+            return ("params", path + ["kernel"], _to_hwio)
+        return ("params", path + ["kernel"], lambda v: v.T)
+    if leaf == "weight_u":
+        return ("spectral", path + ["u"], lambda v: v)
+    if leaf == "weight_v":
+        return ("spectral", path + ["v"], lambda v: v)
+    if leaf == "gamma":
+        return ("params", path + ["gamma"], lambda v: np.squeeze(v))
+    if leaf == "running_mean":
+        return ("batch_stats", path + ["mean"], lambda v: v)
+    if leaf == "running_var":
+        return ("batch_stats", path + ["var"], lambda v: v)
+    if leaf == "num_batches_tracked":
+        return None
+    return None

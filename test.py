@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Batch inference CLI, flag-compatible with the reference test.py.
+
+Example (reference README.md:45):
+  python test.py --name ade20k --dataset_mode ade20k --dataroot ./imgs/ade20k \
+      --batchSize 6 --use_attention --maskmix --warp_mask_losstype direct \
+      --PONO --PONO_C
+
+Saves either per-image outputs (--save_per_img) or label/ref/fake comparison
+grids to output/test/<name>/<i>.png, exactly like reference test.py:27-69.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    from cocosnet_tpu.config import parse_options
+    opt = parse_options(is_train=False)
+
+    import jax
+    if opt.platform:
+        jax.config.update("jax_platforms", opt.platform)
+
+    from cocosnet_tpu import pix2pix as P
+    from cocosnet_tpu.data.loader import create_dataloader
+    from cocosnet_tpu.train.steps import make_inference_step
+    from cocosnet_tpu.utils import visuals as V
+
+    dataloader = create_dataloader(opt)
+    nets = P.Pix2PixNets(opt)
+
+    # init (shape-build) from the first batch, then overwrite from checkpoint
+    first = next(iter(dataloader))
+    arrays = {k: v for k, v in first.items() if not isinstance(v, list)}
+    variables = nets.init_all(jax.random.PRNGKey(opt.seed), arrays)
+    variables = {k: v for k, v in variables.items() if k in ("gen", "corr")}
+
+    ckpt_dir = os.path.join(opt.checkpoints_dir, opt.name)
+    loaded = load_any_checkpoint(opt, nets, variables, ckpt_dir)
+    if loaded is not None:
+        variables = loaded
+    else:
+        print(f"WARNING: no checkpoint found under {ckpt_dir}; "
+              "running with random weights")
+
+    inference_step = make_inference_step(nets)
+    save_root = os.path.join(os.path.dirname(opt.checkpoints_dir), "output")
+    if opt.output_dir != "./output":
+        save_root = opt.output_dir
+
+    import time
+    n_images = 0
+    t_start = time.perf_counter()
+    for i, batch in enumerate(dataloader):
+        print(f"{i} / {len(dataloader)}")
+        if i * opt.batchSize >= opt.how_many:
+            break
+        arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}
+        paths = batch["path"]
+        out = inference_step(variables, arrays)
+        fake = np.asarray(out["fake_image"])
+        n_images += fake.shape[0]
+
+        if opt.save_per_img:
+            root = os.path.join(save_root, "test_per_img", opt.name)
+            imgs = (fake + 1.0) / 2.0
+            for j in range(imgs.shape[0]):
+                if opt.dataset_mode == "deepfashion":
+                    name = paths[j].split("Dataset/DeepFashion/")[-1] \
+                        .replace("/", "_")
+                else:
+                    name = os.path.basename(paths[j])
+                V.save_image(imgs[j], os.path.join(root, name))
+        else:
+            label = batch["label"]
+            if opt.dataset_mode == "deepfashion":
+                label_vis = label[..., :3]
+            elif opt.dataset_mode == "celebahqedge":
+                label_vis = np.repeat(label[..., :1], 3, axis=-1)
+            else:
+                rgb = V.masktorgb(label[..., 0])
+                label_vis = np.transpose(rgb, (0, 2, 3, 1)) / 128.0 - 1.0
+            imgs = np.concatenate([label_vis, batch["ref"], fake], axis=0)
+            imgs = (imgs + 1.0) / 2.0
+            V.save_image_grid(
+                imgs, os.path.join(save_root, "test", opt.name, f"{i}.png"),
+                nrow=fake.shape[0])
+    dt = time.perf_counter() - t_start
+    print(f"processed {n_images} images in {dt:.2f}s "
+          f"({n_images / dt:.2f} img/s incl. host pipeline)")
+
+
+def load_any_checkpoint(opt, nets, variables, ckpt_dir):
+    """Try orbax inference state, then converted-torch npz, then torch .pth."""
+    from cocosnet_tpu.train import checkpoints as C
+    label = opt.which_epoch
+    # 1) orbax
+    try:
+        restored = C.load_state(opt, variables, f"infer_{label}")
+        print(f"loaded orbax checkpoint state_infer_{label}")
+        return restored
+    except Exception:
+        pass
+    # 2) torch .pth files saved by the reference
+    g_path = os.path.join(ckpt_dir, f"{label}_net_G.pth")
+    corr_path = os.path.join(ckpt_dir, f"{label}_net_Corr.pth")
+    if opt.use_ema:
+        g_ema = os.path.join(ckpt_dir, f"{label}_net_G_ema.pth")
+        corr_ema = os.path.join(ckpt_dir, f"{label}_net_netCorr_ema.pth")
+        g_path = g_ema if os.path.exists(g_ema) else g_path
+        corr_path = corr_ema if os.path.exists(corr_ema) else corr_path
+    if os.path.exists(g_path) and os.path.exists(corr_path):
+        from tools.convert_weights import convert_generator, convert_corr, merge_into
+        print(f"importing torch checkpoints {g_path}, {corr_path}")
+        gen_vars = convert_generator(g_path)
+        corr_vars = convert_corr(corr_path)
+        return {"gen": merge_into(variables["gen"], gen_vars),
+                "corr": merge_into(variables["corr"], corr_vars)}
+    return None
+
+
+if __name__ == "__main__":
+    main()

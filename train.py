@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Training CLI, flag-compatible with the reference train.py.
+
+Example (reference README.md:83):
+  python train.py --name ade20k --dataset_mode ade20k --dataroot <path> \
+      --niter 100 --niter_decay 100 --use_attention --maskmix \
+      --warp_mask_losstype direct --weight_mask 100.0 --PONO --PONO_C \
+      --batchSize 32 --vgg_normal_correct
+
+Structure mirrors reference train.py:27-122: per-iteration G step then D
+step (fused into one jitted program over the device mesh), periodic loss
+printing to loss_log.txt, visual grids every --display_freq, `latest` +
+per-epoch checkpoints, linear LR decay after --niter epochs.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    from cocosnet_tpu.config import parse_options, save_options
+    opt = parse_options(is_train=True)
+    save_options(opt, os.path.join(opt.checkpoints_dir, opt.name, "opt.json"))
+
+    import jax
+    if opt.platform:
+        jax.config.update("jax_platforms", opt.platform)
+    import jax.numpy as jnp
+
+    from cocosnet_tpu import mesh as M
+    from cocosnet_tpu import pix2pix as P
+    from cocosnet_tpu.data.loader import create_dataloader, prefetch_to_device
+    from cocosnet_tpu.train import checkpoints as C
+    from cocosnet_tpu.train import state as S
+    from cocosnet_tpu.train import steps as ST
+    from cocosnet_tpu.utils.iter_counter import IterationCounter
+    from cocosnet_tpu.utils.logging import print_current_errors
+    from cocosnet_tpu.utils import visuals as V
+
+    dataloader = create_dataloader(opt)
+    iter_counter = IterationCounter(opt, len(dataloader.dataset))
+
+    mesh = M.create_mesh(data=opt.mesh_data)
+    print(f"mesh: {mesh}")
+
+    nets = P.Pix2PixNets(opt)
+    first = next(iter(dataloader))
+    arrays = {k: v for k, v in first.items() if not isinstance(v, list)}
+    variables = nets.init_all(jax.random.PRNGKey(opt.seed), arrays)
+
+    # pretrained VGG for the perceptual losses
+    if os.path.exists(opt.vgg_weights):
+        from tools.convert_weights import load_vgg_npz
+        variables["vgg"] = load_vgg_npz(opt.vgg_weights, variables["vgg"])
+        print(f"loaded VGG weights from {opt.vgg_weights}")
+    elif os.path.exists(opt.vgg_weights.replace(".npz", ".pth")):
+        from tools.convert_weights import convert_vgg
+        variables["vgg"] = convert_vgg(
+            opt.vgg_weights.replace(".npz", ".pth"), variables["vgg"])
+        print("imported VGG weights from torch checkpoint")
+    else:
+        print(f"WARNING: VGG weights not found at {opt.vgg_weights}; "
+              "perceptual losses use random features")
+
+    state = S.create_train_state(opt, variables, jax.random.PRNGKey(opt.seed))
+    if opt.continue_train:
+        try:
+            state = C.load_state(opt, state, opt.which_epoch)
+            print(f"resumed train state from {opt.which_epoch}")
+        except Exception as e:
+            print(f"could not resume ({e}); starting fresh")
+
+    train_step = jax.jit(ST.make_train_step(nets), donate_argnums=(0,))
+
+    save_root = os.path.join(os.path.dirname(opt.checkpoints_dir), "output")
+
+    for epoch in iter_counter.training_epochs():
+        iter_counter.record_epoch_start(epoch)
+        opt_epoch = opt.replace(epoch=epoch)
+        lr = jnp.asarray(S.lr_for_epoch(opt, epoch), jnp.float32)
+        for i, (batch, paths) in enumerate(
+                prefetch_to_device(iter(dataloader), mesh)):
+            iter_counter.record_one_iteration()
+            state, metrics, visuals = train_step(state, batch, lr)
+
+            if iter_counter.needs_printing():
+                metrics_np = {k: float(v) for k, v in metrics.items()}
+                print_current_errors(opt, epoch, iter_counter.epoch_iter,
+                                     metrics_np, iter_counter.time_per_iter)
+            if iter_counter.needs_displaying():
+                try:
+                    _save_visuals(opt, batch, visuals, epoch,
+                                  iter_counter.total_steps_so_far, save_root, V)
+                except OSError as err:
+                    print(err)
+            if iter_counter.needs_saving():
+                print(f"saving the latest model (epoch {epoch}, "
+                      f"total_steps {iter_counter.total_steps_so_far})")
+                C.save_state(opt, state, "latest")
+                iter_counter.record_current_iter()
+        iter_counter.record_epoch_end()
+        if epoch % opt.save_epoch_freq == 0 or \
+                epoch == iter_counter.total_epochs:
+            print(f"saving the model at the end of epoch {epoch}, "
+                  f"iters {iter_counter.total_steps_so_far}")
+            C.save_state(opt, state, "latest")
+            C.save_state(opt, state, str(epoch))
+
+    print("Training was successfully finished.")
+
+
+def _save_visuals(opt, batch, visuals, epoch, step, save_root, V):
+    import numpy as np
+    imgs_dir = os.path.join(save_root, "training", opt.name)
+    fake = np.asarray(visuals["fake_image"])
+    real = np.asarray(batch["image"])
+    ref = np.asarray(batch["ref"])
+    label = np.asarray(batch["label"])
+    if opt.dataset_mode == "deepfashion":
+        label_vis = label[..., :3]
+    elif opt.dataset_mode == "celebahqedge":
+        label_vis = np.repeat(label[..., :1], 3, axis=-1)
+    else:
+        rgb = V.masktorgb(label[..., 0])
+        label_vis = np.transpose(rgb, (0, 2, 3, 1)) / 128.0 - 1.0
+    rows = [label_vis, ref]
+    if visuals.get("warp_out") is not None:
+        rows.append(np.asarray(visuals["warp_out"]))
+    rows += [fake, real]
+    imgs = (np.concatenate(rows, axis=0) + 1.0) / 2.0
+    V.save_image_grid(
+        imgs, os.path.join(imgs_dir, f"{epoch}_{step}.png"),
+        nrow=fake.shape[0])
+
+
+if __name__ == "__main__":
+    main()
