@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Headline benchmark: ADE20k exemplar-translation inference throughput.
+
+Measures images/sec/chip of the full inference path (correspondence net +
+SPADE generator, 256x256, batch 6, the reference README.md:45 config) on the
+default JAX device, and compares against the PyTorch-CPU reference
+implementation (imported from /root/reference with the test sync-BN shim)
+running the identical forward on this host.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BATCH = 6
+STEPS = 20
+CPU_STEPS = 2
+
+
+def _opt():
+    from cocosnet_tpu.config import test_defaults
+    return test_defaults(
+        dataset_mode="ade20k", label_nc=150, contain_dontcare_label=True,
+        crop_size=256, load_size=256, batchSize=BATCH, use_attention=True,
+        maskmix=True, PONO=True, PONO_C=True, warp_mask_losstype="direct",
+        match_kernel=3, vgg_normal_correct=True, isTrain=False)
+
+
+def _batch(opt):
+    rs = np.random.RandomState(0)
+    h = opt.crop_size
+    return {
+        "label": rs.randint(0, opt.semantic_nc,
+                            (BATCH, h, h, 1)).astype(np.float32),
+        "image": (rs.rand(BATCH, h, h, 3).astype(np.float32) * 2 - 1),
+        "ref": (rs.rand(BATCH, h, h, 3).astype(np.float32) * 2 - 1),
+        "label_ref": rs.randint(0, opt.semantic_nc,
+                                (BATCH, h, h, 1)).astype(np.float32),
+        "self_ref": np.ones((BATCH,), np.float32),
+    }
+
+
+def bench_tpu() -> float:
+    import jax
+    from cocosnet_tpu import pix2pix as P
+    from cocosnet_tpu.train.steps import make_inference_step
+
+    opt = _opt()
+    nets = P.Pix2PixNets(opt)
+    batch = {k: jax.device_put(v) for k, v in _batch(opt).items()}
+    variables = nets.init_all(jax.random.PRNGKey(0), batch)
+    variables = {k: v for k, v in variables.items() if k in ("gen", "corr")}
+    step = make_inference_step(nets)
+
+    out = step(variables, batch)
+    jax.block_until_ready(out)
+    # timed: each iteration fetches a result slice to defeat async pipelining
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        out = step(variables, batch)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / STEPS
+    return BATCH / dt
+
+
+def bench_torch_cpu() -> float:
+    """Reference CoCosNet forward (netCorr + netG) on CPU torch."""
+    import torch
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tests"))
+    import reference_harness as RH
+    RH.load_reference()
+    from models.networks.correspondence import NoVGGCorrespondence
+    from models.networks.generator import SPADEGenerator
+
+    topt = RH.make_opt(ngf=64, label_nc=150, semantic_nc=151, crop_size=256,
+                       match_kernel=3, batchSize=BATCH)
+    torch.manual_seed(0)
+    with torch.no_grad():
+        corr = NoVGGCorrespondence(topt).eval()
+        gen = SPADEGenerator(topt).eval()
+        rs = np.random.RandomState(0)
+        ref = torch.from_numpy(
+            rs.rand(BATCH, 3, 256, 256).astype(np.float32) * 2 - 1)
+        sem = torch.zeros(BATCH, 151, 256, 256)
+        lab = torch.from_numpy(rs.randint(0, 151, (BATCH, 1, 256, 256)))
+        sem.scatter_(1, lab, 1.0)
+        ref_sem = torch.roll(sem, 7, dims=2)
+
+        def forward():
+            out = corr(ref, None, sem, ref_sem)
+            cbn = torch.cat([out["warp_out"], sem], dim=1)
+            return gen(sem, warp_out=cbn)
+
+        forward()  # warm-up
+        t0 = time.perf_counter()
+        for _ in range(CPU_STEPS):
+            forward()
+        dt = (time.perf_counter() - t0) / CPU_STEPS
+    return BATCH / dt
+
+
+def main():
+    tpu_ips = bench_tpu()
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cpu_baseline.json")
+    cpu_ips = None
+    if os.path.exists(cache):
+        try:
+            cpu_ips = json.load(open(cache))["torch_cpu_images_per_sec"]
+        except Exception:
+            cpu_ips = None
+    if cpu_ips is None:
+        try:
+            cpu_ips = bench_torch_cpu()
+            with open(cache, "w") as f:
+                json.dump({"torch_cpu_images_per_sec": cpu_ips}, f)
+        except Exception as e:
+            print(f"torch-cpu baseline failed: {e}", file=sys.stderr)
+            cpu_ips = float("nan")
+
+    print(json.dumps({
+        "metric": "ade20k_256px_exemplar_translation_inference",
+        "value": round(tpu_ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(tpu_ips / cpu_ips, 2) if cpu_ips == cpu_ips
+        else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -21,7 +21,8 @@ from cocosnet_tpu.losses.gan import (feature_matching_loss, gan_loss,
                                      mse_loss, weighted_l1_loss)
 from cocosnet_tpu.models.correspondence import CorrespondenceNet
 from cocosnet_tpu.models.discriminator import MultiscaleDiscriminator
-from cocosnet_tpu.models.generator import DomainClassifier, SPADEGenerator
+from cocosnet_tpu.models.generator import (DomainClassifier, SPADEGenerator,
+                                           cbn_channels)
 from cocosnet_tpu.nn.vgg import VGG19Features
 from cocosnet_tpu.ops import image as I
 
@@ -50,34 +51,39 @@ class Pix2PixNets:
     # ---------------------------------------------------------------- init
 
     def init_all(self, rng: jax.Array, batch: Dict[str, Array]) -> Dict[str, Vars]:
+        """Initialize every network's variables. Shapes are derived statically
+        (no eager forward passes) and each init is jitted so this is fast even
+        when dispatching over a remote TPU."""
         opt = self.opt
         kg, kc, kd, kv, kdc, knoise = jax.random.split(rng, 6)
-        data = preprocess_input(opt, batch)
+        b = batch["image"].shape[0]
+        h = opt.crop_size
+        w = opt.crop_size
+        sem = jnp.zeros((b, h, w, opt.semantic_nc), jnp.float32)
+        img = jnp.zeros((b, h, w, 3), jnp.float32)
         nets: Dict[str, Vars] = {}
-        nets["corr"] = self.corr.init(
-            {"params": kc, "noise": knoise},
-            data["ref_image"], data["real_image"], data["input_semantics"],
-            data["ref_semantics"], train=opt.isTrain)
-        corr_out = self.corr.apply(
-            nets["corr"], data["ref_image"], data["real_image"],
-            data["input_semantics"], data["ref_semantics"],
-            train=False)
-        cbn = cbn_input(opt, corr_out["warp_out"], data["input_semantics"])
-        nets["gen"] = self.gen.init({"params": kg}, data["input_semantics"],
-                                    cbn, train=opt.isTrain)
+
+        def jinit(fn):
+            return jax.jit(fn)
+
+        nets["corr"] = jinit(lambda k, kn, r, re, s, rs: self.corr.init(
+            {"params": k, "noise": kn}, r, re, s, rs, train=opt.isTrain))(
+            kc, knoise, img, img if opt.isTrain else None, sem, sem)
+        cbn = jnp.zeros((b, h, w, cbn_channels(opt)), jnp.float32)
+        nets["gen"] = jinit(lambda k, s, c: self.gen.init(
+            {"params": k}, s, c, train=opt.isTrain))(kg, sem, cbn)
         if self.disc is not None:
-            d_in = jnp.concatenate(
-                [data["input_semantics"], data["real_image"]], axis=-1)
-            d_in = jnp.concatenate([d_in, d_in], axis=0)
-            nets["disc"] = self.disc.init({"params": kd}, d_in,
-                                          train=opt.isTrain)
+            d_in = jnp.zeros((2 * b, h, w, opt.semantic_nc + 3), jnp.float32)
+            nets["disc"] = jinit(lambda k, x: self.disc.init(
+                {"params": k}, x, train=opt.isTrain))(kd, d_in)
         if self.vgg is not None:
-            nets["vgg"] = self.vgg.init({"params": kv}, data["ref_image"],
-                                        VGG_KEYS)
+            nets["vgg"] = jinit(lambda k, x: self.vgg.init(
+                {"params": k}, x, VGG_KEYS))(kv, img)
         if self.domain_classifier is not None:
-            nets["domain_classifier"] = self.domain_classifier.init(
-                {"params": kdc}, corr_out["adaptive_feature_seg"],
-                train=opt.isTrain)
+            feat = jnp.zeros((b, h // 4, w // 4, 4 * opt.ngf), jnp.float32)
+            nets["domain_classifier"] = jinit(
+                lambda k, x: self.domain_classifier.init(
+                    {"params": k}, x, train=opt.isTrain))(kdc, feat)
         return nets
 
 
