@@ -21,7 +21,8 @@ import numpy as np
 
 BATCH = 6
 STEPS = 20
-CPU_STEPS = 2
+CPU_BATCH = 1  # torch-CPU on one core takes minutes per 256px image
+CPU_STEPS = 1
 
 
 def _opt():
@@ -49,23 +50,36 @@ def _batch(opt):
 
 def bench_tpu() -> float:
     import jax
+    import jax.numpy as jnp
     from cocosnet_tpu import pix2pix as P
-    from cocosnet_tpu.train.steps import make_inference_step
 
     opt = _opt()
     nets = P.Pix2PixNets(opt)
-    batch = {k: jax.device_put(v) for k, v in _batch(opt).items()}
-    variables = nets.init_all(jax.random.PRNGKey(0), batch)
+    base = _batch(opt)
+    batch0 = {k: jax.device_put(v) for k, v in base.items()}
+    variables = nets.init_all(jax.random.PRNGKey(0), batch0)
     variables = {k: v for k, v in variables.items() if k in ("gen", "corr")}
-    step = make_inference_step(nets)
 
-    out = step(variables, batch)
-    jax.block_until_ready(out)
-    # timed: each iteration fetches a result slice to defeat async pipelining
+    # checksum inside the jitted program: the remote TPU runtime here
+    # evaluates lazily and block_until_ready does not force execution, so
+    # each timed step fetches a scalar (forces the full forward, negligible
+    # transfer). Inputs differ per step to defeat any result caching.
+    @jax.jit
+    def step(variables, batch):
+        data = P.preprocess_input(opt, batch)
+        out = P.inference(nets, variables, data)
+        return jnp.sum(out["fake_image"])
+
+    batches = []
+    for i in range(4):
+        b = dict(base)
+        b["ref"] = b["ref"] + np.float32(i + 1) * 1e-3
+        batches.append({k: jax.device_put(v) for k, v in b.items()})
+
+    float(step(variables, batches[0]))  # warm-up / compile
     t0 = time.perf_counter()
-    for _ in range(STEPS):
-        out = step(variables, batch)
-    jax.block_until_ready(out)
+    for i in range(STEPS):
+        float(step(variables, batches[i % 4]))
     dt = (time.perf_counter() - t0) / STEPS
     return BATCH / dt
 
@@ -81,16 +95,16 @@ def bench_torch_cpu() -> float:
     from models.networks.generator import SPADEGenerator
 
     topt = RH.make_opt(ngf=64, label_nc=150, semantic_nc=151, crop_size=256,
-                       match_kernel=3, batchSize=BATCH)
+                       match_kernel=3, batchSize=CPU_BATCH)
     torch.manual_seed(0)
     with torch.no_grad():
         corr = NoVGGCorrespondence(topt).eval()
         gen = SPADEGenerator(topt).eval()
         rs = np.random.RandomState(0)
         ref = torch.from_numpy(
-            rs.rand(BATCH, 3, 256, 256).astype(np.float32) * 2 - 1)
-        sem = torch.zeros(BATCH, 151, 256, 256)
-        lab = torch.from_numpy(rs.randint(0, 151, (BATCH, 1, 256, 256)))
+            rs.rand(CPU_BATCH, 3, 256, 256).astype(np.float32) * 2 - 1)
+        sem = torch.zeros(CPU_BATCH, 151, 256, 256)
+        lab = torch.from_numpy(rs.randint(0, 151, (CPU_BATCH, 1, 256, 256)))
         sem.scatter_(1, lab, 1.0)
         ref_sem = torch.roll(sem, 7, dims=2)
 
@@ -99,12 +113,11 @@ def bench_torch_cpu() -> float:
             cbn = torch.cat([out["warp_out"], sem], dim=1)
             return gen(sem, warp_out=cbn)
 
-        forward()  # warm-up
         t0 = time.perf_counter()
         for _ in range(CPU_STEPS):
             forward()
         dt = (time.perf_counter() - t0) / CPU_STEPS
-    return BATCH / dt
+    return CPU_BATCH / dt
 
 
 def main():
