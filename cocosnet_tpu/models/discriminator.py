@@ -43,6 +43,11 @@ class NLayerDiscriminator(nn.Module):
         kw, padw = 4, 1
         nf = opt.ndf
         n_layers = opt.n_layers_D
+        # three stride-2 convs precede the final 4x4 conv: anything smaller
+        # bottoms out at zero-size patch maps (and NaN hinge losses)
+        assert min(x.shape[1], x.shape[2]) >= 4 * 2 ** (n_layers - 1), (
+            f"discriminator input {x.shape[1]}x{x.shape[2]} too small for "
+            f"n_layers_D={n_layers} (needs >= {4 * 2 ** (n_layers - 1)})")
         results = []
         cam_logit = None
 

@@ -1,0 +1,69 @@
+"""Orbax train-state checkpoint roundtrip (the crash-only recovery story:
+SURVEY §5 checkpoint/resume)."""
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cocosnet_tpu.config import test_defaults
+
+
+def _tiny_setup(checkpoints_dir):
+    from cocosnet_tpu import pix2pix as P
+    from cocosnet_tpu.train import state as S
+
+    opt = test_defaults(
+        dataset_mode="ade20k", label_nc=5, contain_dontcare_label=True,
+        crop_size=64, load_size=64, batchSize=2, ngf=8, ndf=8,
+        maskmix=True, PONO=True, PONO_C=True, use_ema=True,
+        use_pallas=False, isTrain=True, checkpoints_dir=checkpoints_dir,
+        name="ckpt_test")
+    nets = P.Pix2PixNets(opt)
+    rs = np.random.RandomState(0)
+    batch = {
+        "label": jnp.asarray(rs.randint(0, 6, (2, 64, 64, 1)).astype(np.float32)),
+        "image": jnp.asarray(rs.randn(2, 64, 64, 3).astype(np.float32) * 0.1),
+        "ref": jnp.asarray(rs.randn(2, 64, 64, 3).astype(np.float32) * 0.1),
+        "label_ref": jnp.asarray(rs.randint(0, 6, (2, 64, 64, 1)).astype(np.float32)),
+        "self_ref": jnp.ones((2,), jnp.float32),
+    }
+    variables = nets.init_all(jax.random.PRNGKey(0), batch)
+    state = S.create_train_state(opt, variables, jax.random.PRNGKey(1))
+    return opt, nets, state, batch
+
+
+def test_state_roundtrip():
+    from cocosnet_tpu.train import checkpoints as C
+    from cocosnet_tpu.train import state as S, steps as ST
+
+    with tempfile.TemporaryDirectory() as tmp:
+        opt, nets, state, batch = _tiny_setup(tmp)
+        train_step = jax.jit(ST.make_train_step(nets))
+        state, metrics, _ = train_step(state, batch,
+                                       jnp.asarray(opt.lr, jnp.float32))
+        C.save_state(opt, state, "latest")
+        restored = C.load_state(opt, state, "latest")
+        assert int(restored.step) == int(state.step) == 1
+        orig = jax.tree.leaves(state.variables["gen"]["params"])
+        back = jax.tree.leaves(restored.variables["gen"]["params"])
+        for a, b in zip(orig, back):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # EMA shadows roundtrip too
+        for a, b in zip(jax.tree.leaves(state.ema), jax.tree.leaves(restored.ema)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # restored state continues training
+        state2, m2, _ = train_step(restored, batch,
+                                   jnp.asarray(opt.lr, jnp.float32))
+        assert all(np.isfinite(float(v)) for v in m2.values())
+
+
+def test_lr_schedule():
+    from cocosnet_tpu.train.state import lr_for_epoch
+    opt = test_defaults(niter=10, niter_decay=10, lr=0.0002)
+    assert lr_for_epoch(opt, 1) == 0.0002
+    assert lr_for_epoch(opt, 10) == 0.0002
+    np.testing.assert_allclose(lr_for_epoch(opt, 15), 0.0001)
+    np.testing.assert_allclose(lr_for_epoch(opt, 20), 0.0)
