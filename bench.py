@@ -52,6 +52,9 @@ def bench_tpu() -> float:
     import jax
     import jax.numpy as jnp
     from cocosnet_tpu import pix2pix as P
+    from cocosnet_tpu.nn import layers as L
+
+    L.set_compute_dtype(jnp.bfloat16)
 
     opt = _opt()
     nets = P.Pix2PixNets(opt)

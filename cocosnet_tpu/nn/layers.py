@@ -27,6 +27,20 @@ from flax import linen as nn
 
 Array = jax.Array
 
+# Global compute-dtype policy for convolutions (bf16 feeds the MXU at full
+# rate; f32 params are cast per-op and accumulation stays f32). Set from
+# Options.compute_dtype by the CLIs via set_compute_dtype(); None = f32.
+_COMPUTE_DTYPE = None
+
+
+def set_compute_dtype(dtype) -> None:
+    global _COMPUTE_DTYPE
+    _COMPUTE_DTYPE = dtype
+
+
+def get_compute_dtype():
+    return _COMPUTE_DTYPE
+
 
 def xavier_normal_init(gain: float = 0.02):
     """torch.nn.init.xavier_normal_ for HWIO conv kernels / (in,out) dense."""
@@ -55,6 +69,8 @@ def conv2d(x: Array, kernel: Array, bias: Optional[Array] = None, *,
            compute_dtype=None) -> Array:
     """torch F.conv2d semantics on NHWC input, HWIO kernel."""
     orig_dtype = x.dtype
+    if compute_dtype is None:
+        compute_dtype = _COMPUTE_DTYPE
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         kernel = kernel.astype(compute_dtype)

@@ -26,6 +26,10 @@ def main():
     if opt.platform:
         jax.config.update("jax_platforms", opt.platform)
 
+    import jax.numpy as jnp_
+    from cocosnet_tpu.nn import layers as _L
+    if opt.compute_dtype == "bf16":
+        _L.set_compute_dtype(jnp_.bfloat16)
     from cocosnet_tpu import pix2pix as P
     from cocosnet_tpu.data.loader import create_dataloader
     from cocosnet_tpu.train.steps import make_inference_step
