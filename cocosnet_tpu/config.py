@@ -154,6 +154,7 @@ class Options:
     seed: int = 0
     output_dir: str = "./output"
     log_compiles: bool = False
+    profile_dir: str = ""              # jax.profiler trace output (train)
 
     # ---- derived (set in finalize) ----
     semantic_nc: int = 0

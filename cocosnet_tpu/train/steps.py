@@ -130,6 +130,51 @@ def make_train_step(nets: P.Pix2PixNets):
     return train_step
 
 
+def make_d_step(nets: P.Pix2PixNets):
+    """Discriminator-only step for --D_steps_per_G > 1 iterations: the
+    reference runs a D update every iteration but a G update only every
+    D_steps_per_G-th, reusing the last G step's fake image
+    (train.py:54-58, pix2pix_trainer.py:64-74)."""
+    opt = nets.opt
+    _, tx_d = S.make_optimizers(opt)
+
+    def d_step(state: S.TrainState, batch, lr, fake_image):
+        data = P.preprocess_input(opt, batch)
+        variables = state.variables
+
+        def d_loss_fn(dp):
+            vars_d = _set_params(variables, dp)
+            pred_fake, pred_real, _, d_updates = P.discriminate(
+                nets, vars_d["disc"], data["input_semantics"],
+                jax.lax.stop_gradient(fake_image),
+                data["real_image"], train=True, mutable=True)
+            from cocosnet_tpu.losses.gan import gan_loss
+            losses = {
+                "D_Fake": gan_loss(pred_fake, False, True,
+                                   opt.gan_mode) * opt.weight_gan,
+                "D_real": gan_loss(pred_real, True, True,
+                                   opt.gan_mode) * opt.weight_gan,
+            }
+            return sum(losses.values()), (losses, d_updates)
+
+        (_, (d_losses, d_updates)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(S.d_params(variables))
+        if d_updates:
+            variables = _merge_updates(variables, {"disc": d_updates})
+        opt_d = optax.tree_utils.tree_set(state.opt_d,
+                                          learning_rate=S.d_lr(opt, lr))
+        d_up, opt_d = tx_d.update(d_grads, opt_d, S.d_params(variables))
+        variables = _set_params(variables,
+                                optax.apply_updates(S.d_params(variables),
+                                                    d_up))
+        new_state = S.TrainState(
+            step=state.step + 1, variables=variables, opt_g=state.opt_g,
+            opt_d=opt_d, ema=state.ema, noise_rng=state.noise_rng)
+        return new_state, d_losses
+
+    return d_step
+
+
 def make_inference_step(nets: P.Pix2PixNets):
     opt = nets.opt
 

@@ -70,6 +70,12 @@ def main():
         fake = np.asarray(out["fake_image"])
         n_images += fake.shape[0]
 
+        if opt.show_corr and out.get("warp_out") is not None:
+            warp = (np.asarray(out["warp_out"]) + 1.0) / 2.0
+            for j in range(warp.shape[0]):
+                V.save_image(warp[j], os.path.join(
+                    save_root, "test", opt.name + "_corr", f"{i}_{j}.png"))
+
         if opt.save_per_img:
             root = os.path.join(save_root, "test_per_img", opt.name)
             imgs = (fake + 1.0) / 2.0

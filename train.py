@@ -80,6 +80,12 @@ def main():
             print(f"could not resume ({e}); starting fresh")
 
     train_step = jax.jit(ST.make_train_step(nets), donate_argnums=(0,))
+    d_only_step = (jax.jit(ST.make_d_step(nets), donate_argnums=(0,))
+                   if opt.D_steps_per_G > 1 else None)
+    last_fake = None
+
+    from cocosnet_tpu.utils.profiling import Throughput, maybe_trace
+    throughput = Throughput()
 
     save_root = os.path.join(os.path.dirname(opt.checkpoints_dir), "output")
 
@@ -90,10 +96,20 @@ def main():
         for i, (batch, paths) in enumerate(
                 prefetch_to_device(iter(dataloader), mesh)):
             iter_counter.record_one_iteration()
-            state, metrics, visuals = train_step(state, batch, lr)
+            trace_this = bool(opt.profile_dir) and epoch == 1 and i == 2
+            with maybe_trace(opt.profile_dir, trace_this):
+                if d_only_step is not None and i % opt.D_steps_per_G != 0 \
+                        and last_fake is not None:
+                    # D-only iteration (reference train.py:54-58)
+                    state, metrics = d_only_step(state, batch, lr, last_fake)
+                    visuals = {}
+                else:
+                    state, metrics, visuals = train_step(state, batch, lr)
+                    last_fake = visuals["fake_image"]
 
             if iter_counter.needs_printing():
                 metrics_np = {k: float(v) for k, v in metrics.items()}
+                metrics_np["img/s"] = throughput.step(opt.batchSize)
                 print_current_errors(opt, epoch, iter_counter.epoch_iter,
                                      metrics_np, iter_counter.time_per_iter)
             if iter_counter.needs_displaying():
