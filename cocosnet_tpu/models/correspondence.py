@@ -163,7 +163,12 @@ class CorrespondenceNet(nn.Module):
             theta = jax.lax.stop_gradient(theta)
             phi = jax.lax.stop_gradient(phi)
 
-        use_pallas = (opt.use_pallas and theta.shape[-1] % 128 == 0
+        # Fused kernel: inference-only for now — the streaming backward's
+        # chunked 128-row matmuls underutilize the MXU vs XLA's batched
+        # backward (ROADMAP item); the forward matches XLA speed while
+        # skipping the O(N^2) logits round-trip to HBM.
+        use_pallas = (opt.use_pallas and not train
+                      and theta.shape[-1] % 128 == 0
                       and theta.shape[-1] <= 1024)
 
         if WTA_scale_weight != 1 or return_corr:

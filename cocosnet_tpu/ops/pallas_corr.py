@@ -44,9 +44,6 @@ _BLOCK_K_BWD = 128
 # temporaries are live (~4 x BLOCK x CHUNK x 4B).
 _BWD_CHUNK = 1024
 
-_PRECISION = jax.lax.Precision.HIGHEST
-
-
 def _is_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
@@ -55,10 +52,27 @@ def _interpret() -> bool:
     return not _is_tpu()
 
 
+def _split_bf16(x):
+    """f32 -> (hi, lo) bf16 pair with x ~= hi + lo (error ~2^-16 relative)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
 def _dot(a, b, dims):
-    return jax.lax.dot_general(a, b, (dims, ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=_PRECISION)
+    """bf16x3 matmul: ~f32 accuracy at 3 single-pass-bf16 MXU costs.
+
+    Mosaic only lowers DEFAULT and HIGHEST dot precisions; HIGHEST is 6
+    passes, so the classic (ahi*bhi + ahi*blo + alo*bhi) decomposition is
+    2x faster for the same ~2^-22 relative error — which the temperature
+    division (x100, correspondence.py:304) comfortably tolerates."""
+    def d(x, y):
+        return jax.lax.dot_general(x, y, (dims, ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.DEFAULT)
+    ahi, alo = _split_bf16(a)
+    bhi, blo = _split_bf16(b)
+    return d(ahi, bhi) + d(ahi, blo) + d(alo, bhi)
 
 
 # ---------------------------------------------------------------- forward
