@@ -1,0 +1,80 @@
+"""Train-step smoke over the reference's per-dataset training configs
+(README.md:83-115) at tiny sizes: exercises warp_cycle, two_cycle, cycle
+mask loss, warp_patch, warp_self, EMA, noise paths under jit + grad."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cocosnet_tpu.config import test_defaults
+
+
+def _run_one_step(**flags):
+    from cocosnet_tpu import pix2pix as P
+    from cocosnet_tpu.train import state as S, steps as ST
+
+    base = dict(dataset_mode="ade20k", label_nc=5, contain_dontcare_label=True,
+                crop_size=64, load_size=64, batchSize=2, ngf=8, ndf=8,
+                PONO=True, PONO_C=True, vgg_normal_correct=True,
+                use_pallas=False, isTrain=True)
+    base.update(flags)
+    opt = test_defaults(**base)
+    nets = P.Pix2PixNets(opt)
+    rs = np.random.RandomState(0)
+    ch = {"celebahqedge": 15, "deepfashion": 20}.get(opt.dataset_mode, 1)
+    if opt.dataset_mode == "celebahq":
+        ch = 2
+    batch = {
+        "label": jnp.asarray(
+            rs.randint(0, 2 if ch > 1 else 6,
+                       (2, 64, 64, ch)).astype(np.float32)),
+        "image": jnp.asarray(rs.randn(2, 64, 64, 3).astype(np.float32) * .1),
+        "ref": jnp.asarray(rs.randn(2, 64, 64, 3).astype(np.float32) * .1),
+        "label_ref": jnp.asarray(
+            rs.randint(0, 2 if ch > 1 else 6,
+                       (2, 64, 64, ch)).astype(np.float32)),
+        "self_ref": jnp.ones((2,), jnp.float32),
+    }
+    variables = nets.init_all(jax.random.PRNGKey(0), batch)
+    state = S.create_train_state(opt, variables, jax.random.PRNGKey(1))
+    step = jax.jit(ST.make_train_step(nets))
+    state, metrics, _ = step(state, batch, jnp.asarray(opt.lr, jnp.float32))
+    m = {k: float(v) for k, v in metrics.items()}
+    assert all(np.isfinite(v) for v in m.values()), m
+    return m
+
+
+def test_celebahq_style_training():
+    """warp_cycle + direct mask + bilinear warp (README.md:97)."""
+    m = _run_one_step(dataset_mode="celebahq", label_nc=19,
+                      contain_dontcare_label=False, maskmix=True,
+                      use_attention=True, warp_mask_losstype="direct",
+                      weight_mask=100.0, warp_bilinear=True,
+                      warp_cycle_w=0.1, which_perceptual="4_2",
+                      weight_perceptual=0.001, fm_ratio=1.0, adaptor_kernel=4)
+    assert "G_warp_cycle" in m and "mask" in m
+
+
+def test_deepfashion_style_training():
+    """warp_patch + warp_self + video_like + no mask loss (README.md:115)."""
+    m = _run_one_step(dataset_mode="deepfashion", label_nc=20,
+                      contain_dontcare_label=False, use_attention=True,
+                      warp_bilinear=True, warp_self_w=100.0, warp_patch=True,
+                      video_like=True, real_reference_probability=0.0,
+                      which_perceptual="4_2", adaptor_kernel=4)
+    assert "G_warp_self" in m and "mask" not in m
+
+
+def test_cycle_mask_and_two_cycle():
+    """cycle warp-mask loss + two_cycle path (correspondence.py:337-372)."""
+    m = _run_one_step(maskmix=True, warp_mask_losstype="cycle",
+                      weight_mask=10.0, warp_cycle_w=1.0, two_cycle=True)
+    assert "mask" in m and "G_warp_cycle" in m
+
+
+def test_mask_noise_and_noise_for_mask():
+    """stochastic mask paths (correspondence.py:239-244, 262-264)."""
+    m = _run_one_step(maskmix=True, mask_noise=True, noise_for_mask=True,
+                      mask_epoch=0, warp_mask_losstype="direct",
+                      weight_mask=10.0)
+    assert "mask" in m
