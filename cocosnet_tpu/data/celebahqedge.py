@@ -15,6 +15,7 @@ from PIL import Image
 
 from cocosnet_tpu.config import Options
 from cocosnet_tpu.data import edges as E
+from cocosnet_tpu.data import native as NAT
 from cocosnet_tpu.data import transforms as T
 from cocosnet_tpu.data.pix2pix_dataset import (Pix2pixDataset, load_ref_table,
                                                ref_table_path)
@@ -66,9 +67,9 @@ class CelebAHQEdgeDataset(Pix2pixDataset):
                     inner_label[part_label == 255] = 1
                 else:
                     inner_label[part_label == 255] = 0
-                edges = E.mask_edges(edges, part_label)
-                edge = E.mask_edges(edge, part_label)
-            im_dist = E.distance_transform_map(edge)
+                edges = NAT.mask_edges(edges, part_label)
+                edge = NAT.mask_edges(edge, part_label)
+            im_dist = NAT.distance_transform_map(edge)
             dist_maps.append(T.image_to_tensor(
                 opt, Image.fromarray(im_dist), params,
                 method=T.BILINEAR, normalize=False))

@@ -17,7 +17,7 @@ import numpy as np
 from PIL import Image
 
 from cocosnet_tpu.config import Options
-from cocosnet_tpu.data import edges as E
+from cocosnet_tpu.data import native as NAT
 from cocosnet_tpu.data import transforms as T
 from cocosnet_tpu.data.pix2pix_dataset import (Pix2pixDataset, load_ref_table,
                                                ref_table_path)
@@ -151,8 +151,8 @@ class DeepFashionDataset(Pix2pixDataset):
         params = T.get_params(opt, pose.size, self.rng)
         dist_maps = []
         for joint in joints:
-            im_dist = cv2.distanceTransform(255 - joint, cv2.DIST_L1, 3)
-            im_dist = np.clip(im_dist / 3, 0, 255).astype(np.uint8)
+            # joints are 0/255 maps; the native DT treats nonzero as sources
+            im_dist = NAT.distance_transform_map((joint > 0).astype(np.uint8))
             dist_maps.append(T.image_to_tensor(
                 opt, Image.fromarray(im_dist), params,
                 method=T.BILINEAR, normalize=False))
