@@ -86,24 +86,40 @@ class DataLoader:
                 yield collate([f.result() for f in futures])
 
 
-def prefetch_to_device(iterator, mesh=None, size: int = 2):
-    """Double-buffered host->device pipeline. With a mesh, batches are
-    sharded over the `data` axis; otherwise committed to the default device."""
+def prefetch_to_device(iterator, mesh=None, size: int = 2,
+                       threaded: bool = False):
+    """Host->device feed. With a mesh, batches are sharded over the `data`
+    axis; otherwise committed to the default device.
+
+    Device transfers run on the calling thread by default: the host-side
+    decode pipeline is already threaded inside DataLoader, and issuing
+    device_put from a second thread serializes pathologically against the
+    remote TPU runtime used in this environment (~100x step-time blowup).
+    `threaded=True` restores the background-transfer behavior for local
+    devices."""
     import jax
     from cocosnet_tpu.mesh import shard_batch
+
+    def transfer(batch):
+        arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}
+        paths = {k: v for k, v in batch.items() if isinstance(v, list)}
+        if mesh is not None:
+            arrays = shard_batch(mesh, arrays)
+        else:
+            arrays = jax.device_put(arrays)
+        return arrays, paths
+
+    if not threaded:
+        for batch in iterator:
+            yield transfer(batch)
+        return
 
     q: "queue.Queue" = queue.Queue(maxsize=size)
     _END = object()
 
     def producer():
         for batch in iterator:
-            arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}
-            paths = {k: v for k, v in batch.items() if isinstance(v, list)}
-            if mesh is not None:
-                arrays = shard_batch(mesh, arrays)
-            else:
-                arrays = jax.device_put(arrays)
-            q.put((arrays, paths))
+            q.put(transfer(batch))
         q.put(_END)
 
     t = threading.Thread(target=producer, daemon=True)

@@ -67,8 +67,12 @@ def reflect_pad_2d(x: Array, pad: int) -> Array:
 def conv2d(x: Array, kernel: Array, bias: Optional[Array] = None, *,
            stride: int = 1, padding: int = 0, dilation: int = 1,
            compute_dtype=None) -> Array:
-    """torch F.conv2d semantics on NHWC input, HWIO kernel."""
-    orig_dtype = x.dtype
+    """torch F.conv2d semantics on NHWC input, HWIO kernel.
+
+    With a bf16 compute policy both operands AND the conv output are bf16
+    (the MXU accumulates in f32 internally; only the output store rounds),
+    then the result is upcast — mixing bf16 operands with an f32
+    preferred_element_type breaks the conv transpose rule under AD."""
     if compute_dtype is None:
         compute_dtype = _COMPUTE_DTYPE
     if compute_dtype is not None:
@@ -80,9 +84,8 @@ def conv2d(x: Array, kernel: Array, bias: Optional[Array] = None, *,
         padding=((padding, padding), (padding, padding)),
         rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
-    y = y.astype(orig_dtype if compute_dtype is None else jnp.float32)
+    y = y.astype(jnp.float32)
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y
