@@ -88,6 +88,8 @@ def main():
     throughput = Throughput()
 
     save_root = os.path.join(os.path.dirname(opt.checkpoints_dir), "output")
+    if opt.output_dir != "./output":
+        save_root = opt.output_dir
 
     for epoch in iter_counter.training_epochs():
         iter_counter.record_epoch_start(epoch)
