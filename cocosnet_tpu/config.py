@@ -155,6 +155,7 @@ class Options:
     output_dir: str = "./output"
     log_compiles: bool = False
     profile_dir: str = ""              # jax.profiler trace output (train)
+    remat: bool = False                # rematerialize the G forward (2x batch)
 
     # ---- derived (set in finalize) ----
     semantic_nc: int = 0

@@ -46,6 +46,41 @@ def attend_reference(q: Array, k: Array, v: Array, tau: float) -> Array:
                       precision=_CORR_PRECISION)
 
 
+def attend_chunked(q: Array, k: Array, v: Array, tau: float,
+                   chunk: int = 512) -> Array:
+    """Streaming attend at the XLA level: scan over query blocks with a
+    rematerialized body, so at most (B, chunk, M) logits are ever live —
+    forward AND backward. Used when the descriptor dim is too large for the
+    VMEM-resident Pallas kernel (match_kernel=3 -> C=2304) and the full
+    logits matrix would dominate HBM (B x 4096^2 x 4B = 64MB/sample,
+    correspondence.py:291).
+
+    AD through lax.map with a checkpointed body recomputes each block's
+    softmax in the backward pass and accumulates dk/dv across blocks — the
+    same recipe as the Pallas kernel's custom VJP, delegated to XLA.
+    """
+    b, n, c = q.shape
+    d = v.shape[2]
+    chunk = min(chunk, n)
+    if n % chunk != 0:
+        return attend_reference(q, k, v, tau)
+    steps = n // chunk
+    q_blocks = q.reshape(b, steps, chunk, c).swapaxes(0, 1)
+
+    @jax.checkpoint
+    def body(qb):
+        s = jnp.einsum("bnc,bmc->bnm", qb, k,
+                       preferred_element_type=jnp.float32,
+                       precision=_CORR_PRECISION) / tau
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bnm,bmd->bnd", p, v.astype(jnp.float32),
+                          preferred_element_type=jnp.float32,
+                          precision=_CORR_PRECISION)
+
+    out = jax.lax.map(body, q_blocks)          # (steps, B, chunk, D)
+    return out.swapaxes(0, 1).reshape(b, n, d)
+
+
 def correlation_matrix(q: Array, k: Array, tau: float) -> Array:
     """Raw scaled logits (return_corr path, correspondence.py:305-306)."""
     s = jnp.einsum("bnc,bmc->bnm", q, k,
@@ -77,8 +112,13 @@ def wta_scale(f: Array, scale: float = 1e-4) -> Array:
 
 def attend(q: Array, k: Array, v: Array, tau: float,
            use_pallas: bool = True) -> Array:
-    """Dispatch to the fused Pallas kernel on TPU, naive jnp elsewhere."""
+    """Dispatch: fused Pallas kernel when requested; otherwise the chunked
+    XLA stream for large problems (bounds live logits to (B, 512, M)), or
+    the plain dense form for small ones."""
     if use_pallas:
         from cocosnet_tpu.ops.pallas_corr import attend_pallas_padded
         return attend_pallas_padded(q, k, v, tau)
+    b, n, _ = q.shape
+    if b * n * k.shape[1] >= (1 << 26):  # >= 256 MB of f32 logits
+        return attend_chunked(q, k, v, tau)
     return attend_reference(q, k, v, tau)

@@ -57,10 +57,21 @@ def make_train_step(nets: P.Pix2PixNets):
         variables = state.variables
 
         # ---------------- generator step --------------------------------
+        def _forward(gp):
+            vars_g = _set_params(variables, gp)
+            return P.generate_fake(nets, vars_g, data, train=True,
+                                   rngs={"noise": key}, mutable=True)
+
+        if opt.remat:
+            # recompute the correspondence+generator forward in the backward
+            # pass instead of saving its activations (the N^2 softmax logits
+            # dominate); jax.checkpoint trades ~30% step time for roughly 2x
+            # larger per-chip batch
+            _forward = jax.checkpoint(_forward)
+
         def g_loss_fn(gp):
             vars_g = _set_params(variables, gp)
-            out, updates = P.generate_fake(nets, vars_g, data, train=True,
-                                           rngs={"noise": key}, mutable=True)
+            out, updates = _forward(gp)
             out["ref_features"] = P.vgg_features(nets, variables["vgg"],
                                                  data["ref_image"])
             out["real_features"] = P.vgg_features(nets, variables["vgg"],

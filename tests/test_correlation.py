@@ -72,3 +72,24 @@ def test_wta_scale():
     g = jax.grad(lambda x: jnp.sum(wta_scale(x, 1e-4) * 2.0))(x)
     mask = np.asarray(x == m)
     np.testing.assert_allclose(np.asarray(g), np.where(mask, 2.0, 2e-4), atol=1e-7)
+
+
+def test_attend_chunked_matches_reference():
+    from cocosnet_tpu.ops.correlation import attend_chunked
+    q, k, v = _inputs(B=2, N=256, M=256, C=128, D=5)
+    ref = attend_reference(q, k, v, 0.01)
+    got = attend_chunked(q, k, v, 0.01, chunk=64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def lc(q, k, v):
+        from cocosnet_tpu.ops.correlation import attend_chunked
+        return jnp.sum(jnp.sin(attend_chunked(q, k, v, 0.01, chunk=64)))
+
+    def lr(q, k, v):
+        return jnp.sum(jnp.sin(attend_reference(q, k, v, 0.01)))
+
+    gc = jax.grad(lc, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lr, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gc, gr):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-9
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-4
