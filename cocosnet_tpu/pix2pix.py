@@ -295,8 +295,12 @@ def compute_generator_losses(nets: Pix2PixNets, variables: Dict[str, Vars],
         losses["GAN_Feat"] = (feature_matching_loss(pred_fake, pred_real)
                               * opt.lambda_feat)
 
-    fake_features = vgg_features(nets, variables["vgg"],
-                                 generate_out["fake_image"])
+    fake_vgg = (lambda img: vgg_features(nets, variables["vgg"], img))
+    if opt.remat:
+        # the 16-conv VGG tower at 256px saves ~0.6GB of activations per
+        # sample for its backward; recompute them instead
+        fake_vgg = jax.checkpoint(fake_vgg)
+    fake_features = fake_vgg(generate_out["fake_image"])
     real_features = generate_out["real_features"]
     ref_features = generate_out["ref_features"]
 

@@ -78,3 +78,11 @@ def test_mask_noise_and_noise_for_mask():
                       mask_epoch=0, warp_mask_losstype="direct",
                       weight_mask=10.0)
     assert "mask" in m
+
+
+def test_remat_training_step():
+    """--remat rematerializes the G forward + fake-VGG tower; losses must
+    be identical code paths (memory-only change)."""
+    m = _run_one_step(maskmix=True, warp_mask_losstype="direct",
+                      weight_mask=10.0, remat=True)
+    assert "GAN" in m and "mask" in m
