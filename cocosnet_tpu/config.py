@@ -248,6 +248,15 @@ def parse_options(argv=None, is_train: bool = True) -> Options:
     pre, _ = parser.parse_known_args(argv)
     for k, v in _DATASET_DEFAULTS.get(pre.dataset_mode, {}).items():
         parser.set_defaults(**{k: v})
+    if pre.load_from_opt_file:
+        # base_options.py:119-122,160-166: saved options become the defaults
+        opt_path = os.path.join(pre.checkpoints_dir, pre.name, "opt.json")
+        saved = load_options(opt_path)
+        for k in _FIELD_NAMES:
+            if k in ("isTrain", "phase", "semantic_nc", "epoch", "down",
+                     "load_from_opt_file", "continue_train", "which_epoch"):
+                continue
+            parser.set_defaults(**{k: getattr(saved, k)})
     ns = parser.parse_args(argv)
     _apply_phase_defaults(ns, is_train, explicitly_set)
 

@@ -14,6 +14,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cocosnet_tpu.config import Options
 from cocosnet_tpu.losses.contextual import contextual_loss
@@ -84,6 +85,12 @@ class Pix2PixNets:
             nets["domain_classifier"] = jinit(
                 lambda k, x: self.domain_classifier.init(
                     {"params": k}, x, train=opt.isTrain))(kdc, feat)
+        for name, v in nets.items():
+            # parity with BaseNetwork.print_network (base_network.py:18-26)
+            n = sum(int(np.prod(x.shape))
+                    for x in jax.tree.leaves(v.get("params", {})))
+            print(f"Network [{name}] was created. Total number of parameters:"
+                  f" {n / 1e6:.1f} million.")
         return nets
 
 
