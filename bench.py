@@ -134,8 +134,48 @@ def bench_torch_cpu() -> float:
     return CPU_BATCH / dt
 
 
+def bench_latency_p50() -> float:
+    """p50 per-image latency: batch-1 inference, one dispatch per image
+    (BASELINE.json's secondary metric)."""
+    import jax
+    import jax.numpy as jnp
+    from cocosnet_tpu import pix2pix as P
+
+    opt = _opt().replace(batchSize=1)
+    nets = P.Pix2PixNets(opt)
+    base = {k: (v[:1] if hasattr(v, "ndim") else v)
+            for k, v in _batch(opt).items()}
+    batch0 = {k: jax.device_put(v) for k, v in base.items()}
+    variables = nets.init_all(jax.random.PRNGKey(0), batch0)
+    variables = {k: v for k, v in variables.items() if k in ("gen", "corr")}
+
+    @jax.jit
+    def step(variables, batch):
+        data = P.preprocess_input(opt, batch)
+        out = P.inference(nets, variables, data)
+        return jnp.sum(out["fake_image"])
+
+    batches = []
+    for i in range(4):
+        b = dict(base)
+        b["ref"] = b["ref"] + np.float32(i + 1) * 1e-3
+        batches.append({k: jax.device_put(v) for k, v in b.items()})
+    float(step(variables, batches[0]))
+    times = []
+    for i in range(11):
+        t0 = time.perf_counter()
+        float(step(variables, batches[i % 4]))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
 def main():
     tpu_ips = bench_tpu()
+    try:
+        p50 = bench_latency_p50()
+    except Exception as e:
+        print(f"latency bench failed: {e}", file=sys.stderr)
+        p50 = None
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_cpu_baseline.json")
     cpu_ips = None
@@ -152,6 +192,20 @@ def main():
         except Exception as e:
             print(f"torch-cpu baseline failed: {e}", file=sys.stderr)
             cpu_ips = float("nan")
+
+    details = {
+        "images_per_sec_chip": round(tpu_ips, 2),
+        "p50_single_image_latency_ms": (round(p50 * 1e3, 1)
+                                        if p50 is not None else None),
+        "torch_cpu_images_per_sec": (round(cpu_ips, 4)
+                                     if cpu_ips == cpu_ips else None),
+        "config": "ade20k 256px batch 6, --use_attention --maskmix "
+                  "--warp_mask_losstype direct --PONO --PONO_C",
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAILS.json"), "w") as f:
+        json.dump(details, f, indent=2)
+    print(json.dumps(details), file=sys.stderr)
 
     print(json.dumps({
         "metric": "ade20k_256px_exemplar_translation_inference",

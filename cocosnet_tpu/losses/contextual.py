@@ -55,4 +55,6 @@ def contextual_loss(x_features: Array, y_features: Array, h: float = 0.1,
     w = jnp.exp((1.0 - d_norm) / h)
     a_ij = w / jnp.sum(w, axis=-1, keepdims=True)
     cx = jnp.mean(jnp.max(a_ij, axis=-1), axis=1)
-    return -jnp.log(cx)
+    # guard: CX can underflow to 0 with degenerate features; the reference
+    # would emit inf here (ContextualLoss.py:133) — clamp for stability
+    return -jnp.log(jnp.maximum(cx, 1e-12))

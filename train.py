@@ -79,9 +79,22 @@ def main():
         except Exception as e:
             print(f"could not resume ({e}); starting fresh")
 
-    train_step = jax.jit(ST.make_train_step(nets), donate_argnums=(0,))
-    d_only_step = (jax.jit(ST.make_d_step(nets), donate_argnums=(0,))
-                   if opt.D_steps_per_G > 1 else None)
+    # the --noise_for_mask switch at epoch > mask_epoch changes the traced
+    # graph (correspondence.py:262-264), so the step is (re)built per phase
+    step_cache = {}
+
+    def get_steps(epoch):
+        noise_phase = bool(opt.noise_for_mask and epoch > opt.mask_epoch)
+        if noise_phase not in step_cache:
+            nets_e = P.Pix2PixNets(
+                opt.replace(epoch=opt.mask_epoch + 1 if noise_phase else 1))
+            ts = jax.jit(ST.make_train_step(nets_e), donate_argnums=(0,))
+            ds = (jax.jit(ST.make_d_step(nets_e), donate_argnums=(0,))
+                  if opt.D_steps_per_G > 1 else None)
+            step_cache[noise_phase] = (ts, ds)
+        return step_cache[noise_phase]
+
+    train_step, d_only_step = get_steps(iter_counter.first_epoch)
     last_fake = None
 
     from cocosnet_tpu.utils.profiling import Throughput, maybe_trace
@@ -93,7 +106,7 @@ def main():
 
     for epoch in iter_counter.training_epochs():
         iter_counter.record_epoch_start(epoch)
-        opt_epoch = opt.replace(epoch=epoch)
+        train_step, d_only_step = get_steps(epoch)
         lr = jnp.asarray(S.lr_for_epoch(opt, epoch), jnp.float32)
         for i, (batch, paths) in enumerate(
                 prefetch_to_device(iter(dataloader), mesh)):
