@@ -53,7 +53,9 @@ def contextual_loss(x_features: Array, y_features: Array, h: float = 0.1,
                          preferred_element_type=jnp.float32)
     d_norm = d / (jnp.min(d, axis=-1, keepdims=True) + 1e-3)
     w = jnp.exp((1.0 - d_norm) / h)
-    a_ij = w / jnp.sum(w, axis=-1, keepdims=True)
+    # guard: with degenerate (near-zero) features d_norm explodes and every
+    # w in a row underflows to 0 -> 0/0 NaN; healthy features are unaffected
+    a_ij = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-12)
     cx = jnp.mean(jnp.max(a_ij, axis=-1), axis=1)
     # guard: CX can underflow to 0 with degenerate features; the reference
     # would emit inf here (ContextualLoss.py:133) — clamp for stability

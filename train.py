@@ -121,6 +121,11 @@ def main():
                 else:
                     state, metrics, visuals = train_step(state, batch, lr)
                     last_fake = visuals["fake_image"]
+            # force materialization each step: a cheap scalar fetch keeps the
+            # remote runtime's lazy execution chain short (multi-hundred-step
+            # unmaterialized chains have produced corrupted replays) and is
+            # the standard loss-logging fetch on any backend
+            float(next(iter(metrics.values())))
 
             if iter_counter.needs_printing():
                 metrics_np = {k: float(v) for k, v in metrics.items()}
