@@ -81,3 +81,53 @@ def test_preprocess_input_onehot_roundtrip():
     np.testing.assert_allclose(sums, 1.0)  # strict one-hot
     recon = np.asarray(data["input_semantics"].argmax(-1))
     np.testing.assert_array_equal(recon, np.asarray(data["input_label"]))
+
+
+def test_flickr_pipeline():
+    """Flickr has no bundled mini-set; synthesize one (images/, mask/ with
+    +1-shifted labels, flickr_ref_test_from_train.txt).
+
+    NB: the fixture root must not contain the substring 'test' — the
+    reference's exemplar-path derivation string-replaces the phase folder
+    name across the whole path (pix2pix_dataset.py:98)."""
+    import numpy as np
+    import pathlib
+    import shutil
+    import tempfile
+    from PIL import Image as PILImage
+    root = pathlib.Path(tempfile.mkdtemp(prefix="flkr_")) / "flickr"
+    (root / "test" / "images").mkdir(parents=True)
+    (root / "test" / "mask").mkdir(parents=True)
+    (root / "images").mkdir()
+    (root / "mask").mkdir()
+    rs = np.random.RandomState(0)
+    names = [f"img_{i}.jpg" for i in range(3)]
+    for n in names:
+        PILImage.fromarray(
+            rs.randint(0, 255, (64, 80, 3), dtype=np.uint8)).save(
+            root / "test" / "images" / n)
+        PILImage.fromarray(
+            rs.randint(0, 255, (64, 80, 3), dtype=np.uint8)).save(
+            root / "images" / n)
+        mask = rs.randint(0, 20, (64, 80)).astype(np.uint8)
+        PILImage.fromarray(mask).save(
+            root / "test" / "mask" / n.replace(".jpg", ".png"))
+        PILImage.fromarray(mask).save(root / "mask" / n.replace(".jpg", ".png"))
+    # labels are stored as .png next to .jpg-named images in the table
+    with open(root / "flickr_ref_test_from_train.txt", "w") as f:
+        for i, n in enumerate(names):
+            f.write(f"{n},{names[(i + 1) % 3]}\n")
+
+    from cocosnet_tpu.data.loader import create_dataloader
+    opt = parse_options(
+        ["--dataset_mode", "flickr", "--dataroot", str(root),
+         "--batchSize", "3", "--ref_table_dir", str(root),
+         "--no_pairing_check"], is_train=False)
+    try:
+        dl = create_dataloader(opt)
+        batch = next(iter(dl))
+        _check_batch(batch, 1, 3)
+        # flickr labels get the +1 shift (base_dataset.py:49-50)
+        assert batch["label"].min() >= 1
+    finally:
+        shutil.rmtree(root.parent, ignore_errors=True)

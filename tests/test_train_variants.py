@@ -86,3 +86,20 @@ def test_remat_training_step():
     m = _run_one_step(maskmix=True, warp_mask_losstype="direct",
                       weight_mask=10.0, remat=True)
     assert "GAN" in m and "mask" in m
+
+
+def test_eqlr_coordconv_adaptor_extras():
+    """equalized-lr weight norm + coordconv + deeper/dilated/SE/nonlocal
+    adaptor + ls GAN (base_options.py:74,84-88)."""
+    m = _run_one_step(eqlr_sn=True, use_coordconv=True, adaptor_nonlocal=True,
+                      adaptor_se=True, adaptor_res_deeper=True,
+                      dilation_conv=True, gan_mode="ls", maskmix=True)
+    assert np.isfinite(m["GAN"])
+
+
+def test_dcam_nottur_original_gan():
+    """CAM discriminator logits + no_TTUR adam + original GAN + no D feature
+    matching (train_options.py:36,45; discriminator.py:117-126)."""
+    m = _run_one_step(D_cam=1.0, no_TTUR=True, gan_mode="original",
+                      no_ganFeat_loss=True)
+    assert "GAN_Feat" not in m and np.isfinite(m["GAN"])
