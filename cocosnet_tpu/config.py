@@ -18,7 +18,6 @@ import json
 import os
 import sys
 from dataclasses import dataclass, field
-from typing import Optional, Tuple
 
 
 @dataclass(frozen=True)

@@ -19,8 +19,7 @@ from PIL import Image
 from cocosnet_tpu.config import Options
 from cocosnet_tpu.data import native as NAT
 from cocosnet_tpu.data import transforms as T
-from cocosnet_tpu.data.pix2pix_dataset import (Pix2pixDataset, load_ref_table,
-                                               ref_table_path)
+from cocosnet_tpu.data.pix2pix_dataset import Pix2pixDataset, ref_table_path
 
 LIMB_SEQ = [[2, 3], [2, 6], [3, 4], [4, 5], [6, 7], [7, 8], [2, 9], [9, 10],
             [10, 11], [2, 12], [12, 13], [13, 14], [2, 1], [1, 15], [15, 17],

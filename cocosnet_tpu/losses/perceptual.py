@@ -8,7 +8,7 @@ loss is part of the reference API surface (loss.py:101-120)."""
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -32,7 +32,7 @@ from cocosnet_tpu.models.generator import AdaptiveFeatureGenerator
 from cocosnet_tpu.nn.blocks import ResidualBlock
 from cocosnet_tpu.nn.layers import Conv2d
 from cocosnet_tpu.ops import image as I
-from cocosnet_tpu.ops.correlation import attend, attend_reference, wta_scale
+from cocosnet_tpu.ops.correlation import attend, wta_scale
 from cocosnet_tpu.ops.image import resize_nearest
 
 Array = jax.Array

@@ -25,7 +25,7 @@ from flax import linen as nn
 
 from cocosnet_tpu.config import Options
 from cocosnet_tpu.nn.blocks import Attention
-from cocosnet_tpu.nn.layers import Conv2d, Dense, leaky_relu
+from cocosnet_tpu.nn.layers import Conv2d, leaky_relu
 from cocosnet_tpu.nn.norms import NormConv
 from cocosnet_tpu.ops.image import (adaptive_avg_pool_1x1,
                                     adaptive_max_pool_1x1, avg_pool_3x3_s2_p1)

@@ -14,8 +14,6 @@ Parity citations into /root/reference/models/networks/:
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -19,7 +19,7 @@ Semantics-parity notes (citations into /root/reference):
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

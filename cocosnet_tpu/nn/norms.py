@@ -24,8 +24,6 @@ Parity notes:
 from __future__ import annotations
 
 import re
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -25,8 +25,6 @@ bf16x3 keeps the warped output within ~1e-4 of exact f32 while running
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -12,7 +12,7 @@ CoCosNet models run on TPU unchanged.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -18,15 +18,12 @@ measurable.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from cocosnet_tpu import pix2pix as P
-from cocosnet_tpu.config import Options
 from cocosnet_tpu.train import state as S
 
 Vars = Dict[str, Any]

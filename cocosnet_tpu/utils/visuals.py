@@ -15,8 +15,6 @@
 from __future__ import annotations
 
 import os
-from typing import List, Optional
-
 import numpy as np
 from PIL import Image
 
