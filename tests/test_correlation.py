@@ -93,3 +93,26 @@ def test_attend_chunked_matches_reference():
     for a, b in zip(gc, gr):
         scale = float(jnp.max(jnp.abs(b))) + 1e-9
         assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-4
+
+
+def test_bigc_kernel_matches_reference():
+    """Experimental large-descriptor flash kernel (ops/pallas_corr_bigc.py):
+    correct fwd+bwd; production C=2304 path remains attend_chunked (see
+    ROADMAP — on the current stack XLA's HIGH-precision exp/matmul wins)."""
+    from cocosnet_tpu.ops.pallas_corr_bigc import attend_pallas_bigc
+    q, k, v = _inputs(B=1, N=256, M=256, C=256, D=6)
+    ref = attend_reference(q, k, v, 0.01)
+    got = attend_pallas_bigc(q, k, v, 0.01)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-4)
+
+    def lp(q, k, v):
+        return jnp.sum(jnp.sin(attend_pallas_bigc(q, k, v, 0.01)))
+
+    def lr(q, k, v):
+        return jnp.sum(jnp.sin(attend_reference(q, k, v, 0.01)))
+
+    gp = jax.grad(lp, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lr, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gr):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-9
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-3
