@@ -18,6 +18,7 @@ Pred = Union[Array, Sequence]
 
 def _single_loss(x: Array, target_is_real: bool, for_discriminator: bool,
                  gan_mode: str) -> Array:
+    x = x.astype(jnp.float32)
     if gan_mode == "original":
         target = jnp.ones_like(x) if target_is_real else jnp.zeros_like(x)
         return jnp.mean(optax_sigmoid_bce(x, target))
@@ -65,14 +66,17 @@ def feature_matching_loss(pred_fake: List[List[Array]],
     loss = 0.0
     for i in range(num_d):
         for j in range(len(pred_fake[i]) - 1):
-            loss = loss + jnp.mean(
-                jnp.abs(pred_fake[i][j] - jax.lax.stop_gradient(pred_real[i][j])))
+            diff = (pred_fake[i][j].astype(jnp.float32)
+                    - jax.lax.stop_gradient(
+                        pred_real[i][j].astype(jnp.float32)))
+            loss = loss + jnp.mean(jnp.abs(diff))
     return loss / num_d
 
 
 def weighted_l1_loss(x: Array, target: Array, weights: Array) -> Array:
     """util/util.py:36-40 — |x-t| scaled by per-sample weights then meaned."""
-    return jnp.mean(jnp.abs(x - target) * weights)
+    return jnp.mean(jnp.abs(x.astype(jnp.float32)
+                            - target.astype(jnp.float32)) * weights)
 
 
 def mse_loss(x: Array, target: Array = 0.0) -> Array:

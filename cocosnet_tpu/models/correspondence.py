@@ -41,14 +41,16 @@ _EPS = sys.float_info.epsilon
 
 
 def safe_l2_norm(x: Array, axis=-1, keepdims=True) -> Array:
-    """sqrt(sum(x^2) + tiny): forward-identical to torch.norm at any healthy
-    magnitude, but with a finite gradient at exactly-zero vectors (which
-    torch's pretrained VGG never produces, but random init can)."""
+    """sqrt(sum(x^2) + tiny) in f32: forward-identical to torch.norm at any
+    healthy magnitude, but with a finite gradient at exactly-zero vectors
+    (which torch's pretrained VGG never produces, but random init can)."""
+    x = x.astype(jnp.float32)
     return jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=keepdims) + 1e-24)
 
 
 def feature_normalize(x: Array) -> Array:
-    """util/util.py:31-34 — L2 normalize over the channel dim (NHWC)."""
+    """util/util.py:31-34 — L2 normalize over the channel dim (NHWC), f32."""
+    x = x.astype(jnp.float32)
     return x / (safe_l2_norm(x) + _EPS)
 
 
@@ -76,6 +78,7 @@ class CorrespondenceNet(nn.Module):
         inter = 256
         y = Conv2d(inter, 1, padding=0, name=name)(feat)
         b, h, w, c = y.shape
+        y = y.astype(jnp.float32)  # descriptor math stays f32 (tau=0.01)
         if opt.match_kernel == 1:
             desc = y.reshape(b, h * w, c)
         else:

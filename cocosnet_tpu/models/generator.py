@@ -87,7 +87,7 @@ class SPADEGenerator(nn.Module):
         x = upsample_nearest(x, 2)
         x = block(2 * nf, 1 * nf, "up_3")(x, seg, train)
         x = Conv2d(3, 3, padding=1, name="conv_img")(leaky_relu(x))
-        return jnp.tanh(x)
+        return jnp.tanh(x.astype(jnp.float32))
 
 
 class AdaptiveFeatureGenerator(nn.Module):

@@ -92,12 +92,12 @@ class Attention(nn.Module):
         beta = jax.nn.softmax(
             jnp.einsum("nqc,nkc->nqk", theta, phi,
                        preferred_element_type=jnp.float32), axis=-1)
-        o = jnp.einsum("nqk,nkc->nqc", beta, g,
-                       preferred_element_type=jnp.float32)
+        o = jnp.einsum("nqk,nkc->nqc", beta.astype(g.dtype), g,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
         o = Conv2d(self.ch, 1, use_bias=False, weight_norm=wn,
                    name="o")(o.reshape(n, h, w, c // 2))
         gamma = self.param("gamma", nn.initializers.zeros, ())
-        return gamma * o + x
+        return (gamma.astype(x.dtype) * o.astype(x.dtype) + x)
 
 
 class SELayer(nn.Module):
@@ -107,13 +107,13 @@ class SELayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        y = jnp.mean(x, axis=(1, 2))  # (N, C)
+        y = jnp.mean(x.astype(jnp.float32), axis=(1, 2))  # (N, C)
         from cocosnet_tpu.nn.layers import Dense
         y = Dense(self.channel // self.reduction, use_bias=False, name="fc_0")(y)
         y = jax.nn.relu(y)
         y = Dense(self.channel, use_bias=False, name="fc_1")(y)
         y = jax.nn.sigmoid(y)
-        return x * y[:, None, None, :]
+        return x * y[:, None, None, :].astype(x.dtype)
 
 
 class ResidualBlock(nn.Module):

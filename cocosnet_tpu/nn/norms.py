@@ -35,19 +35,24 @@ Array = jax.Array
 
 
 def instance_norm(x: Array, eps: float = 1e-5) -> Array:
-    """nn.InstanceNorm2d(affine=False): per-sample, per-channel spatial norm."""
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.var(x, axis=(1, 2), keepdims=True)  # biased, like torch IN
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    """nn.InstanceNorm2d(affine=False): per-sample, per-channel spatial norm.
+    Statistics always in f32 (bf16 accumulation over 64k pixels is lossy);
+    output keeps the input dtype."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.var(x32, axis=(1, 2), keepdims=True)  # biased, like torch IN
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 def positional_norm(x: Array, eps: float = 1e-5) -> Array:
     """PONO (normalization.py:63-68): normalize over the channel dim at every
-    spatial position. torch .var() is unbiased — match it."""
+    spatial position. torch .var() is unbiased — match it. Statistics in
+    f32; output keeps the input dtype."""
     c = x.shape[-1]
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True) * (c / max(c - 1, 1))
-    return (x - mean) / jnp.sqrt(var + eps)
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True) * (c / max(c - 1, 1))
+    return ((x32 - mean) / jnp.sqrt(var + eps)).astype(x.dtype)
 
 
 class BatchNorm(nn.Module):
@@ -71,8 +76,9 @@ class BatchNorm(nn.Module):
                                lambda: jnp.ones((self.features,)))
         if train:
             axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(x, axis=axes)
-            var = jnp.var(x, axis=axes)
+            x32 = x.astype(jnp.float32)
+            mean = jnp.mean(x32, axis=axes)
+            var = jnp.var(x32, axis=axes)
             n = x.size // x.shape[-1]
             unbiased = var * (n / max(n - 1, 1))
             if not self.is_initializing():
@@ -80,13 +86,14 @@ class BatchNorm(nn.Module):
                 ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
         else:
             mean, var = ra_mean.value, ra_var.value
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        y = ((x.astype(jnp.float32) - mean)
+             * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
         if self.affine:
             # torch BN affine init: weight=1 (the reference's init_weights only
             # re-inits *BatchNorm2d* modules named so; ours start at the same 1/0)
             scale = self.param("scale", nn.initializers.ones, (self.features,))
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y * scale + bias
+            y = y * scale.astype(y.dtype) + bias.astype(y.dtype)
         return y
 
 
@@ -129,7 +136,8 @@ class SPADE(nn.Module):
         actv = reflect_pad_2d(actv, pw)
         gamma = Conv2d(self.norm_nc, ks, padding=0, name="mlp_gamma")(actv)
         beta = Conv2d(self.norm_nc, ks, padding=0, name="mlp_beta")(actv)
-        return normalized * (1 + gamma) + beta
+        out = normalized.astype(gamma.dtype) * (1 + gamma) + beta
+        return out
 
 
 class NormConv(nn.Module):

@@ -65,4 +65,5 @@ class VGG19Features(nn.Module):
             if idx == ("2" if block in "12" else "4"):
                 h = pool_fn(h, 2)
                 out[f"p{block}"] = h
-        return [out[k] for k in out_keys]
+        # taps feed f32 loss math regardless of the activation policy
+        return [out[k].astype(jnp.float32) for k in out_keys]
