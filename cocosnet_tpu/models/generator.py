@@ -57,6 +57,12 @@ class SPADEGenerator(nn.Module):
         opt = self.opt
         nf = opt.ngf
         seg = input_semantics if warp_out is None else warp_out
+        from cocosnet_tpu.nn.layers import get_compute_dtype
+        if get_compute_dtype() is not None:
+            # one cast for the (B,H,W,semantic_nc+3) conditioning map: every
+            # SPADE block resizes + convolves it, so keeping it in the
+            # compute dtype halves that traffic
+            seg = seg.astype(get_compute_dtype())
         sw = opt.crop_size // (2 ** 5)
         sh = round(sw / opt.aspect_ratio)
         use_sn = "spectral" in opt.norm_G
@@ -99,6 +105,10 @@ class AdaptiveFeatureGenerator(nn.Module):
     @nn.compact
     def __call__(self, x: Array, seg: Array, train: bool = True) -> Array:
         opt = self.opt
+        from cocosnet_tpu.nn.layers import get_compute_dtype
+        if get_compute_dtype() is not None:
+            x = x.astype(get_compute_dtype())
+            seg = seg.astype(get_compute_dtype())
         ndf = nf = opt.ngf
         kw, pw = 3, 1
         ak = opt.adaptor_kernel
