@@ -153,6 +153,7 @@ class Options:
     seed: int = 0
     output_dir: str = "./output"
     log_compiles: bool = False
+    allow_random_weights: bool = False  # let test.py/serve.py run uncheckpointed
     profile_dir: str = ""              # jax.profiler trace output (train)
     remat: bool = False                # rematerialize the G forward (2x batch)
 

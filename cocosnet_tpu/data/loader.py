@@ -86,19 +86,30 @@ class DataLoader:
                 yield collate([f.result() for f in futures])
 
 
+def _is_remote_runtime() -> bool:
+    """True when jax runs through the 'axon' remote-TPU tunnel, where
+    background-thread device_put serializes pathologically (~100x step-time
+    blowup measured in round 1)."""
+    try:
+        from jax._src import xla_bridge as xb
+        return "axon" in xb.backends()
+    except Exception:
+        return False
+
+
 def prefetch_to_device(iterator, mesh=None, size: int = 2,
-                       threaded: bool = False):
+                       threaded=None):
     """Host->device feed. With a mesh, batches are sharded over the `data`
     axis; otherwise committed to the default device.
 
-    Device transfers run on the calling thread by default: the host-side
-    decode pipeline is already threaded inside DataLoader, and issuing
-    device_put from a second thread serializes pathologically against the
-    remote TPU runtime used in this environment (~100x step-time blowup).
-    `threaded=True` restores the background-transfer behavior for local
-    devices."""
+    threaded=None auto-selects: background double-buffered transfers on
+    local backends (host decode + H2D overlap device compute), calling-thread
+    transfers under the remote axon runtime (see _is_remote_runtime)."""
     import jax
     from cocosnet_tpu.mesh import shard_batch
+
+    if threaded is None:
+        threaded = not _is_remote_runtime()
 
     def transfer(batch):
         arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}
@@ -131,22 +142,27 @@ def prefetch_to_device(iterator, mesh=None, size: int = 2,
         yield item
 
 
-def create_dataloader(opt: Options) -> DataLoader:
-    """Registry dispatch (data/__init__.py:11-54) — explicit dict instead of
-    reflection on module/class names."""
+def dataset_registry():
+    """Explicit name -> class dict replacing the reference's reflection-based
+    lookup (data/__init__.py:11-33)."""
     from cocosnet_tpu.data.ade20k import ADE20KDataset
     from cocosnet_tpu.data.celebahq import CelebAHQDataset
     from cocosnet_tpu.data.celebahqedge import CelebAHQEdgeDataset
     from cocosnet_tpu.data.deepfashion import DeepFashionDataset
     from cocosnet_tpu.data.flickr import FlickrDataset
 
-    registry = {
+    return {
         "ade20k": ADE20KDataset,
         "celebahq": CelebAHQDataset,
         "celebahqedge": CelebAHQEdgeDataset,
         "deepfashion": DeepFashionDataset,
         "flickr": FlickrDataset,
     }
+
+
+def create_dataloader(opt: Options) -> DataLoader:
+    """Registry dispatch (data/__init__.py:41-54)."""
+    registry = dataset_registry()
     if opt.dataset_mode not in registry:
         raise ValueError(
             f"dataset_mode {opt.dataset_mode!r} not in {sorted(registry)}")

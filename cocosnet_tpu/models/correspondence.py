@@ -13,9 +13,15 @@ column-softmax paths run the same kernel with q/k swapped:
     col pass V  = [seg(cycle mask) | y(warp_cycle) | real(two_cycle)]
     row pass 2  = [warp_mask_to_ref | warp_i2r]                  (cycle hops)
 
-The fused Pallas kernel is used when the descriptor dim fits VMEM-resident
-keys (match_kernel=1 -> C=256); the 2304-dim unfolded descriptors
-(match_kernel=3) currently take the XLA path.
+Kernel dispatch:
+- match_kernel=3 (the flagship): the unfold correlation decomposes into 9
+  diagonal shifts of the base C=256 correlation; on TPU the whole chain is
+  ONE fused Pallas kernel (ops/pallas_shift9.py) with a flash-style custom
+  VJP, used for training and inference. The 2304-dim descriptor tensors are
+  never materialized. Off-TPU: the streaming XLA form (ops/corr_shift.py).
+- match_kernel=1: the VMEM-resident-key Pallas kernel (ops/pallas_corr.py)
+  at inference; XLA streaming attend in training.
+- WTA scaling / return_corr: explicit-matrix path (materialized logits).
 """
 
 from __future__ import annotations
@@ -33,6 +39,8 @@ from cocosnet_tpu.nn.blocks import ResidualBlock
 from cocosnet_tpu.nn.layers import Conv2d
 from cocosnet_tpu.ops import image as I
 from cocosnet_tpu.ops.correlation import attend, wta_scale
+from cocosnet_tpu.ops.corr_shift import attend_unfold
+from cocosnet_tpu.ops.pallas_shift9 import attend_shift9, shift9_supported
 from cocosnet_tpu.ops.image import resize_nearest
 
 Array = jax.Array
@@ -147,7 +155,12 @@ class CorrespondenceNet(nn.Module):
             use_noise_for_mask = opt.noise_for_mask and (
                 (not train) or (train and opt.epoch > opt.mask_epoch))
             if use_noise_for_mask:
-                rng = (self.make_rng("noise") if train
+                # the reference draws fresh torch.randn on every forward,
+                # train AND eval (correspondence.py:262-264); callers thread a
+                # "noise" rng through apply. The PRNGKey(0) fallback only
+                # covers rng-less eval calls (deterministic by construction,
+                # e.g. golden tests).
+                rng = (self.make_rng("noise") if self.has_rng("noise")
                        else jax.random.PRNGKey(0))
                 noise = jax.random.normal(rng, ref_seg_small.shape,
                                           ref_seg_small.dtype) * 0.01
@@ -160,22 +173,13 @@ class CorrespondenceNet(nn.Module):
             ref_features = layer(feat_img)
 
         # 5. descriptors (correspondence.py:272-289)
-        theta = self._descriptor(cont_features, "theta")   # (B, N, C')
-        phi = self._descriptor(ref_features, "phi")        # (B, N, C')
-        if detach_flag:
-            theta = jax.lax.stop_gradient(theta)
-            phi = jax.lax.stop_gradient(phi)
-
-        # Fused kernel: inference-only for now — the streaming backward's
-        # chunked 128-row matmuls underutilize the MXU vs XLA's batched
-        # backward (ROADMAP item); the forward matches XLA speed while
-        # skipping the O(N^2) logits round-trip to HBM.
-        use_pallas = (opt.use_pallas and not train
-                      and theta.shape[-1] % 128 == 0
-                      and theta.shape[-1] <= 1024)
-
         if WTA_scale_weight != 1 or return_corr:
             # explicit-matrix path for WTA scaling / correlation dumps
+            theta = self._descriptor(cont_features, "theta")   # (B, N, C')
+            phi = self._descriptor(ref_features, "phi")        # (B, N, C')
+            if detach_flag:
+                theta = jax.lax.stop_gradient(theta)
+                phi = jax.lax.stop_gradient(phi)
             f = jnp.einsum("bnc,bmc->bnm", theta, phi,
                            preferred_element_type=jnp.float32,
                            precision=jax.lax.Precision.HIGHEST)
@@ -193,7 +197,52 @@ class CorrespondenceNet(nn.Module):
 
             def col_attend(v):
                 return jnp.einsum("bmn,bnd->bmd", f_div_c_v, v)
+        elif opt.match_kernel > 1:
+            # Patch descriptors: the k*k-unfold correlation decomposes into
+            # k*k diagonal shifts of the base C=256 correlation
+            # (ops/corr_shift.py), so the 2304-dim descriptor tensors are
+            # never materialized. On TPU the whole chain (base matmul ->
+            # shift-sum -> centering/normalize corrections -> softmax ->
+            # warp) is ONE fused Pallas kernel (ops/pallas_shift9.py) used
+            # for training AND inference; elsewhere the XLA streaming form.
+            y_theta = Conv2d(256, 1, padding=0, name="theta")(cont_features)
+            y_phi = Conv2d(256, 1, padding=0, name="phi")(ref_features)
+            y_theta = y_theta.astype(jnp.float32)
+            y_phi = y_phi.astype(jnp.float32)
+            if detach_flag:
+                y_theta = jax.lax.stop_gradient(y_theta)
+                y_phi = jax.lax.stop_gradient(y_phi)
+            use_fused = (opt.use_pallas and opt.match_kernel == 3
+                         and jax.default_backend() == "tpu"
+                         and shift9_supported(fh, fw, 256))
+
+            def _attend_nomat(q_feat, k_feat, v):
+                if use_fused:
+                    return attend_shift9(q_feat, k_feat, v, temperature,
+                                         opt.PONO_C)
+                return attend_unfold(q_feat, k_feat, v, temperature,
+                                     opt.match_kernel, opt.PONO_C)
+
+            def row_attend(v):
+                return _attend_nomat(y_theta, y_phi, v)
+
+            def col_attend(v):
+                return _attend_nomat(y_phi, y_theta, v)
         else:
+            theta = self._descriptor(cont_features, "theta")   # (B, N, C')
+            phi = self._descriptor(ref_features, "phi")        # (B, N, C')
+            if detach_flag:
+                theta = jax.lax.stop_gradient(theta)
+                phi = jax.lax.stop_gradient(phi)
+            # fused single-position kernel (ops/pallas_corr.py): VMEM-resident
+            # keys cap the descriptor dim at 1024; inference-only — its
+            # streaming backward's 128-row matmuls underutilize the MXU vs
+            # XLA's batched backward (round-1 measurement)
+            use_pallas = (opt.use_pallas and not train
+                          and jax.default_backend() == "tpu"
+                          and theta.shape[-1] % 128 == 0
+                          and theta.shape[-1] <= 1024)
+
             def row_attend(v):
                 return attend(theta, phi, v, temperature, use_pallas)
 

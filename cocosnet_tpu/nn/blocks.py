@@ -46,6 +46,12 @@ class SPADEResnetBlock(nn.Module):
         if self.use_spectral:
             wn = "equal_lr" if self.eqlr_sn else "spectral"
 
+        # all SPADE norms in this block run at x's resolution: resize the
+        # conditioning map once here instead of once per norm (SPADE's own
+        # resize then no-ops)
+        from cocosnet_tpu.ops.image import resize_nearest
+        seg = resize_nearest(seg, x.shape[1], x.shape[2])
+
         learned_shortcut = self.fin != self.fout
         if learned_shortcut:
             x_s = SPADE(self.spade_config, self.fin, self.spade_ic,

@@ -36,6 +36,10 @@ def resize_nearest(x: Array, out_h: int, out_w: int) -> Array:
     n, h, w, c = x.shape
     if (h, w) == (out_h, out_w):
         return x
+    if h % out_h == 0 and w % out_w == 0:
+        # integer-factor downscale: floor(i * h/out) == i * (h//out), so the
+        # gather is exactly a strided slice (much cheaper on TPU)
+        return x[:, :: h // out_h, :: w // out_w]
     hi = _nearest_indices(out_h, h)
     wi = _nearest_indices(out_w, w)
     return x[:, hi][:, :, wi]

@@ -352,7 +352,11 @@ def compute_discriminator_losses(nets: Pix2PixNets, disc_vars: Vars,
 
 
 def inference(nets: Pix2PixNets, variables: Dict[str, Vars],
-              data: Dict[str, Array]) -> Dict[str, Array]:
-    """pix2pix_model.py:325-337."""
-    out, _ = generate_fake(nets, variables, data, train=False)
+              data: Dict[str, Array],
+              rng: Optional[Array] = None) -> Dict[str, Array]:
+    """pix2pix_model.py:325-337. `rng` feeds the eval-time noise draws
+    (--noise_for_mask past mask_epoch, correspondence.py:262-264); omitted,
+    those draws fall back to a fixed key (deterministic eval)."""
+    rngs = {"noise": rng} if rng is not None else None
+    out, _ = generate_fake(nets, variables, data, train=False, rngs=rngs)
     return out

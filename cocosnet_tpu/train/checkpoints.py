@@ -44,6 +44,31 @@ def load_state(opt, like_state, label: str):
     return restored
 
 
+def load_raw(opt, label: str):
+    """Restore a checkpoint without a target structure (plain nested dicts of
+    numpy arrays). Lets test.py pull gen/corr out of a full TrainState saved
+    by train.py without constructing discriminator/VGG/optimizer templates."""
+    import orbax.checkpoint as ocp
+    path = _ckpt_dir(opt, label)
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path)
+
+
+def infer_vars_from_train_state(raw: Dict, template: Vars,
+                                use_ema: bool) -> Vars:
+    """Extract inference variables (gen + corr) from a raw TrainState dict,
+    preferring the EMA shadows when --use_ema (pix2pix_model.py:134-136)."""
+    variables = raw["variables"]
+    out = {}
+    for net in ("gen", "corr"):
+        v = dict(variables[net])
+        if use_ema and raw.get("ema") is not None:
+            v["params"] = raw["ema"][net]
+        out[net] = v
+    from tools.convert_weights import merge_into
+    return {net: merge_into(template[net], out[net]) for net in ("gen", "corr")}
+
+
 # ----------------------------------------------------- torch .pth import
 
 def _to_hwio(w: np.ndarray) -> np.ndarray:

@@ -19,6 +19,7 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -37,22 +38,39 @@ class TrainState:
     noise_rng: jax.Array
 
 
-def g_lr(opt: Options, lr: float) -> float:
-    # param-group lr*0.5 (pix2pix_model.py:90-91); once decay starts the
-    # trainer resets groups to new_lr/2 (pix2pix_trainer.py:117) — identical.
-    return lr * 0.5 if not opt.no_TTUR else lr
-
-
-def d_lr(opt: Options, lr: float) -> float:
-    return lr * 2.0 if not opt.no_TTUR else lr
-
-
 def lr_for_epoch(opt: Options, epoch: int) -> float:
-    """Linear decay after opt.niter (pix2pix_trainer.py:105-112)."""
-    if epoch <= opt.niter:
-        return opt.lr
-    decayed = opt.lr - (epoch - opt.niter) * opt.lr / opt.niter_decay
+    """Base learning rate in effect while training epoch `epoch`.
+
+    The reference calls update_learning_rate at the END of each epoch
+    (train.py:109) and it only changes anything once its epoch arg exceeds
+    niter (pix2pix_trainer.py:105-112), so epoch e trains at
+    lr - max(0, e-1-niter) * lr/niter_decay.
+    """
+    decay_steps = max(0, epoch - 1 - opt.niter)
+    decayed = opt.lr - decay_steps * opt.lr / max(opt.niter_decay, 1)
     return max(decayed, 0.0)
+
+
+def lrs_for_epoch(opt: Options, epoch: int):
+    """Effective (G, D) learning rates for `epoch`, matching the reference's
+    torch behavior exactly:
+
+    - The G optimizer's param groups carry an explicit 'lr': opt.lr*0.5
+      override (pix2pix_model.py:90-91) which torch honors over the
+      optimizer-level G_lr, so G trains at lr*0.5 under TTUR *and* no_TTUR
+      until the first decay update rewrites the group lrs
+      (pix2pix_trainer.py:112-121).
+    - After decay starts: TTUR splits new_lr/2 vs new_lr*2; no_TTUR sets
+      both nets to new_lr.
+    """
+    base = lr_for_epoch(opt, epoch)
+    if opt.no_TTUR:
+        decay_started = epoch - 1 > opt.niter
+        g = base if decay_started else opt.lr * 0.5
+        d = base
+    else:
+        g, d = base * 0.5, base * 2.0
+    return np.asarray([g, d], np.float32)
 
 
 def make_optimizers(opt: Options):
@@ -60,13 +78,14 @@ def make_optimizers(opt: Options):
         b1, b2 = opt.beta1, opt.beta2
     else:
         b1, b2 = 0.0, 0.9
-    # lr injected per-step (traced), so scale_by_learning_rate uses 1.0 here
+    # lr injected per-step (traced), so the values here are just epoch-1's
+    lr_g, lr_d = (float(x) for x in lrs_for_epoch(opt, 1))
     opt_g = optax.inject_hyperparams(
         lambda learning_rate: optax.adam(learning_rate, b1=b1, b2=b2,
-                                         eps=1e-3))(learning_rate=g_lr(opt, opt.lr))
+                                         eps=1e-3))(learning_rate=lr_g)
     opt_d = optax.inject_hyperparams(
         lambda learning_rate: optax.adam(learning_rate, b1=b1, b2=b2,
-                                         eps=1e-8))(learning_rate=d_lr(opt, opt.lr))
+                                         eps=1e-8))(learning_rate=lr_d)
     return opt_g, opt_d
 
 

@@ -49,6 +49,8 @@ def make_train_step(nets: P.Pix2PixNets):
 
     def train_step(state: S.TrainState, batch: Dict[str, jax.Array],
                    lr: jax.Array):
+        # lr: shape-(2,) [lr_G, lr_D] from S.lrs_for_epoch (traced so the
+        # per-epoch decay never recompiles the step)
         data = P.preprocess_input(opt, batch)
         noise_rng, key = jax.random.split(state.noise_rng)
         variables = state.variables
@@ -83,7 +85,7 @@ def make_train_step(nets: P.Pix2PixNets):
 
         variables = _merge_updates(variables, g_updates)
         opt_g = optax.tree_utils.tree_set(state.opt_g,
-                                          learning_rate=S.g_lr(opt, lr))
+                                          learning_rate=lr[0])
         g_up, opt_g = tx_g.update(g_grads, opt_g, S.g_params(variables))
         new_gp = optax.apply_updates(S.g_params(variables), g_up)
         variables = _set_params(variables, new_gp)
@@ -114,7 +116,7 @@ def make_train_step(nets: P.Pix2PixNets):
         if d_updates:
             variables = _merge_updates(variables, {"disc": d_updates})
         opt_d = optax.tree_utils.tree_set(state.opt_d,
-                                          learning_rate=S.d_lr(opt, lr))
+                                          learning_rate=lr[1])
         d_up, opt_d = tx_d.update(d_grads, opt_d, S.d_params(variables))
         new_dp = optax.apply_updates(S.d_params(variables), d_up)
         variables = _set_params(variables, new_dp)
@@ -170,7 +172,7 @@ def make_d_step(nets: P.Pix2PixNets):
         if d_updates:
             variables = _merge_updates(variables, {"disc": d_updates})
         opt_d = optax.tree_utils.tree_set(state.opt_d,
-                                          learning_rate=S.d_lr(opt, lr))
+                                          learning_rate=lr[1])
         d_up, opt_d = tx_d.update(d_grads, opt_d, S.d_params(variables))
         variables = _set_params(variables,
                                 optax.apply_updates(S.d_params(variables),
@@ -187,9 +189,9 @@ def make_inference_step(nets: P.Pix2PixNets):
     opt = nets.opt
 
     @jax.jit
-    def inference_step(variables: Dict[str, Vars], batch):
+    def inference_step(variables: Dict[str, Vars], batch, rng=None):
         data = P.preprocess_input(opt, batch)
-        out = P.inference(nets, variables, data)
+        out = P.inference(nets, variables, data, rng=rng)
         return {"fake_image": out["fake_image"],
                 "warp_out": out.get("warp_out")}
 

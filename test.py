@@ -48,9 +48,15 @@ def main():
     loaded = load_any_checkpoint(opt, nets, variables, ckpt_dir)
     if loaded is not None:
         variables = loaded
-    else:
+    elif opt.allow_random_weights:
         print(f"WARNING: no checkpoint found under {ckpt_dir}; "
-              "running with random weights")
+              "running with random weights (--allow_random_weights)")
+    else:
+        raise SystemExit(
+            f"No checkpoint found under {ckpt_dir} (tried orbax "
+            f"state_infer_{opt.which_epoch}, state_{opt.which_epoch}, and "
+            f"torch {opt.which_epoch}_net_G/Corr.pth). Pass "
+            f"--allow_random_weights to run with random weights anyway.")
 
     inference_step = make_inference_step(nets)
     save_root = os.path.join(os.path.dirname(opt.checkpoints_dir), "output")
@@ -66,7 +72,10 @@ def main():
             break
         arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}
         paths = batch["path"]
-        out = inference_step(variables, arrays)
+        # fresh per-batch noise, matching the reference's fresh torch.randn
+        # at eval (correspondence.py:262-264)
+        out = inference_step(variables, arrays,
+                             jax.random.fold_in(jax.random.PRNGKey(opt.seed), i))
         fake = np.asarray(out["fake_image"])
         n_images += fake.shape[0]
 
@@ -106,17 +115,31 @@ def main():
 
 
 def load_any_checkpoint(opt, nets, variables, ckpt_dir):
-    """Try orbax inference state, then converted-torch npz, then torch .pth."""
+    """Try, in order: the lean orbax inference state, the full orbax
+    TrainState written by train.py (so `train.py; test.py` works with no
+    export step), then reference torch .pth files."""
     from cocosnet_tpu.train import checkpoints as C
     label = opt.which_epoch
-    # 1) orbax
+    # 1) orbax inference export (tools/export_inference.py)
     try:
         restored = C.load_state(opt, variables, f"infer_{label}")
         print(f"loaded orbax checkpoint state_infer_{label}")
         return restored
     except Exception:
         pass
-    # 2) torch .pth files saved by the reference
+    # 2) full TrainState saved by train.py (state_<label>); EMA preferred
+    #    when --use_ema, matching reference test-time loading
+    #    (pix2pix_model.py:134-136)
+    if os.path.isdir(os.path.join(ckpt_dir, f"state_{label}")):
+        try:
+            raw = C.load_raw(opt, label)
+            out = C.infer_vars_from_train_state(raw, variables, opt.use_ema)
+            print(f"loaded train state_{label}"
+                  + (" (EMA weights)" if opt.use_ema else ""))
+            return out
+        except Exception as e:
+            print(f"could not extract inference weights from state_{label}: {e}")
+    # 3) torch .pth files saved by the reference
     g_path = os.path.join(ckpt_dir, f"{label}_net_G.pth")
     corr_path = os.path.join(ckpt_dir, f"{label}_net_Corr.pth")
     if opt.use_ema:

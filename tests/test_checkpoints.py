@@ -43,7 +43,7 @@ def test_state_roundtrip():
         opt, nets, state, batch = _tiny_setup(tmp)
         train_step = jax.jit(ST.make_train_step(nets))
         state, metrics, _ = train_step(state, batch,
-                                       jnp.asarray(opt.lr, jnp.float32))
+                                       jnp.asarray(S.lrs_for_epoch(opt, 1)))
         C.save_state(opt, state, "latest")
         restored = C.load_state(opt, state, "latest")
         assert int(restored.step) == int(state.step) == 1
@@ -56,14 +56,27 @@ def test_state_roundtrip():
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         # restored state continues training
         state2, m2, _ = train_step(restored, batch,
-                                   jnp.asarray(opt.lr, jnp.float32))
+                                   jnp.asarray(S.lrs_for_epoch(opt, 1)))
         assert all(np.isfinite(float(v)) for v in m2.values())
 
 
 def test_lr_schedule():
-    from cocosnet_tpu.train.state import lr_for_epoch
+    from cocosnet_tpu.train.state import lr_for_epoch, lrs_for_epoch
     opt = test_defaults(niter=10, niter_decay=10, lr=0.0002)
+    # reference updates at END of each epoch and only once epoch > niter
+    # (train.py:109, pix2pix_trainer.py:105-112): epoch e trains at
+    # lr - max(0, e-1-niter)*lr/niter_decay
     assert lr_for_epoch(opt, 1) == 0.0002
-    assert lr_for_epoch(opt, 10) == 0.0002
-    np.testing.assert_allclose(lr_for_epoch(opt, 15), 0.0001)
-    np.testing.assert_allclose(lr_for_epoch(opt, 20), 0.0)
+    assert lr_for_epoch(opt, 11) == 0.0002   # first decay applies from ep 12
+    np.testing.assert_allclose(lr_for_epoch(opt, 12), 0.00018)
+    np.testing.assert_allclose(lr_for_epoch(opt, 16), 0.0001)
+    np.testing.assert_allclose(lr_for_epoch(opt, 20), 0.00002)
+    # TTUR split (pix2pix_model.py:97-102)
+    np.testing.assert_allclose(lrs_for_epoch(opt, 1), [0.0001, 0.0004])
+    np.testing.assert_allclose(lrs_for_epoch(opt, 16), [0.00005, 0.0002])
+    # no_TTUR: the G param-group 'lr': lr*0.5 override holds until the
+    # first decay rewrite (pix2pix_model.py:90-91, pix2pix_trainer.py:117)
+    opt_n = opt.replace(no_TTUR=True)
+    np.testing.assert_allclose(lrs_for_epoch(opt_n, 1), [0.0001, 0.0002])
+    np.testing.assert_allclose(lrs_for_epoch(opt_n, 11), [0.0001, 0.0002])
+    np.testing.assert_allclose(lrs_for_epoch(opt_n, 12), [0.00018, 0.00018])

@@ -94,29 +94,9 @@ def test_flickr_pipeline():
     import pathlib
     import shutil
     import tempfile
-    from PIL import Image as PILImage
+    from fixtures_util import make_flickr_fixture
     root = pathlib.Path(tempfile.mkdtemp(prefix="flkr_")) / "flickr"
-    (root / "test" / "images").mkdir(parents=True)
-    (root / "test" / "mask").mkdir(parents=True)
-    (root / "images").mkdir()
-    (root / "mask").mkdir()
-    rs = np.random.RandomState(0)
-    names = [f"img_{i}.jpg" for i in range(3)]
-    for n in names:
-        PILImage.fromarray(
-            rs.randint(0, 255, (64, 80, 3), dtype=np.uint8)).save(
-            root / "test" / "images" / n)
-        PILImage.fromarray(
-            rs.randint(0, 255, (64, 80, 3), dtype=np.uint8)).save(
-            root / "images" / n)
-        mask = rs.randint(0, 20, (64, 80)).astype(np.uint8)
-        PILImage.fromarray(mask).save(
-            root / "test" / "mask" / n.replace(".jpg", ".png"))
-        PILImage.fromarray(mask).save(root / "mask" / n.replace(".jpg", ".png"))
-    # labels are stored as .png next to .jpg-named images in the table
-    with open(root / "flickr_ref_test_from_train.txt", "w") as f:
-        for i, n in enumerate(names):
-            f.write(f"{n},{names[(i + 1) % 3]}\n")
+    make_flickr_fixture(root)
 
     from cocosnet_tpu.data.loader import create_dataloader
     opt = parse_options(

@@ -38,7 +38,7 @@ def _run_one_step(**flags):
     variables = nets.init_all(jax.random.PRNGKey(0), batch)
     state = S.create_train_state(opt, variables, jax.random.PRNGKey(1))
     step = jax.jit(ST.make_train_step(nets))
-    state, metrics, _ = step(state, batch, jnp.asarray(opt.lr, jnp.float32))
+    state, metrics, _ = step(state, batch, jnp.asarray(S.lrs_for_epoch(opt, 1)))
     m = {k: float(v) for k, v in metrics.items()}
     assert all(np.isfinite(v) for v in m.values()), m
     return m

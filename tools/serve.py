@@ -1,24 +1,44 @@
 #!/usr/bin/env python
-"""Minimal persistent inference server: watches an input directory for
-(label, ref) pairs, runs batched exemplar translation, writes results.
+"""Persistent inference server: watches an input directory for exemplar
+translation requests, runs them through the SAME label preprocessing as the
+dataset pipelines, and writes results.
 
 Deployment-shaped: the jitted program stays resident (weights on device),
 requests are packed into fixed-size batches (padding the tail) so one
-compiled executable serves everything, and host decode overlaps device
-compute via the loader's thread pool.
+compiled executable serves everything, and per-request latency (p50/p99) is
+reported alongside throughput.
 
 Usage:
   python tools/serve.py --name ade20k --dataset_mode ade20k \
       --checkpoints_dir ./checkpoints --watch_dir /path/in --out_dir /path/out
 
-Input layout per request id R:
-  <watch_dir>/R.label.png   structural input (dataset-specific label format)
-  <watch_dir>/R.ref.jpg     exemplar photo
-Output: <out_dir>/R.png
+Request layout per request id R (in --watch_dir):
+  R.ref.jpg          exemplar photo (any PIL-readable format works)
+  R.label.*          structural input for the label pipeline (see below)
+  R.ref_label.*      same format, describing the exemplar — REQUIRED: the
+                     correspondence net consumes the exemplar's semantics
+                     (ref_semantics, pix2pix_model.py:308), they are not
+                     derivable from the input label
+Output: <out_dir>/R.png  (or <out_dir>/R.error.txt on a bad request)
+
+Label input formats, matching each dataset's get_label_tensor:
+  ade20k / flickr    R.label.png — grayscale class-id mask
+  celebahq           R.label.txt — one line: the all_parts_except_glasses
+                       mask path (the pipeline finds the matching _eye_g
+                       glasses mask itself, celebahq_dataset.py:67-84)
+  celebahqedge       R.label.txt — one line: the mask-anno template path,
+                       e.g. /data/CelebAMask-HQ/CelebAMask-HQ-mask-anno/0/00000_{}.png
+                       (the dataset pipeline opens <template>.format(part)
+                       per facial part and the matching CelebA-HQ-img photo)
+  deepfashion        R.label.txt — one line: the OpenPose template path,
+                       e.g. /data/DeepFashion/pose/.../x_{}.txt
+                       (formatted with candidate/subset; the matching img/
+                       photo is derived from the path)
 """
 
 import argparse
 import os
+import random
 import sys
 import time
 
@@ -27,86 +47,169 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 from PIL import Image
 
+# dataset modes whose labels are plain class-id PNG masks
+_MASK_MODES = ("ade20k", "flickr")
+# modes whose label pipeline resolves a path (template) to the raw assets
+_PATH_MODES = ("celebahq", "celebahqedge", "deepfashion")
+
+
+def make_label_pipeline(opt):
+    """A bound `get_label_tensor` from the dataset class for opt.dataset_mode,
+    without walking a dataroot: preprocessing must match data/*.py exactly or
+    the model sees out-of-distribution inputs (ADVICE round 1)."""
+    from cocosnet_tpu.data.loader import dataset_registry
+    cls = dataset_registry()[opt.dataset_mode]
+    ds = cls.__new__(cls)  # get_label_tensor only needs opt + rng
+    ds.opt = opt
+    ds.rng = random.Random(opt.seed)
+    return ds
+
+
+def resolve_label_input(opt, watch_dir, req):
+    """-> path to feed get_label_tensor, or raises ValueError."""
+    if opt.dataset_mode in _MASK_MODES:
+        p = os.path.join(watch_dir, req + ".png")
+        if not os.path.exists(p):
+            raise ValueError(f"missing {p}")
+        return p
+    p = os.path.join(watch_dir, req + ".txt")
+    if not os.path.exists(p):
+        raise ValueError(f"missing {p} (path-template request file)")
+    with open(p) as f:
+        template = f.read().strip()
+    if not template:
+        raise ValueError(f"{p} is empty")
+    return template
+
 
 def main():
-    from cocosnet_tpu.config import build_parser, parse_options
-    # reuse the full reference flag surface + serving extras
     argv = sys.argv[1:]
     extra = argparse.ArgumentParser(add_help=False)
     extra.add_argument("--watch_dir", required=True)
     extra.add_argument("--out_dir", required=True)
     extra.add_argument("--poll_s", type=float, default=0.5)
+    extra.add_argument("--once", action="store_true",
+                       help="serve pending requests then exit (for tests)")
     extra_ns, rest = extra.parse_known_args(argv)
+    from cocosnet_tpu.config import parse_options
     opt = parse_options(rest, is_train=False)
+    if opt.dataset_mode not in _MASK_MODES + _PATH_MODES:
+        raise SystemExit(f"serve.py cannot preprocess labels for "
+                         f"--dataset_mode {opt.dataset_mode}")
 
     import jax
     import jax.numpy as jnp
+    if opt.platform:
+        jax.config.update("jax_platforms", opt.platform)
     from cocosnet_tpu.nn import layers as L
     if opt.compute_dtype == "bf16":
         L.set_compute_dtype(jnp.bfloat16)
     from cocosnet_tpu import pix2pix as P
+    from cocosnet_tpu.data import transforms as T
     from cocosnet_tpu.train.steps import make_inference_step
     import test as test_cli
 
+    pipeline = make_label_pipeline(opt)
     h = opt.crop_size
     b = opt.batchSize
+    # label channel count per dataset (static shapes -> one compiled program)
+    label_ch = {"ade20k": 1, "flickr": 1, "celebahq": 2,
+                "celebahqedge": 15, "deepfashion": 20}[opt.dataset_mode]
     nets = P.Pix2PixNets(opt)
-    fake = {
-        "label": np.zeros((b, h, h, 1), np.float32),
+    zero_batch = {
+        "label": np.zeros((b, h, h, label_ch), np.float32),
         "image": np.zeros((b, h, h, 3), np.float32),
         "ref": np.zeros((b, h, h, 3), np.float32),
-        "label_ref": np.zeros((b, h, h, 1), np.float32),
+        "label_ref": np.zeros((b, h, h, label_ch), np.float32),
         "self_ref": np.zeros((b,), np.float32),
     }
-    variables = nets.init_all(jax.random.PRNGKey(opt.seed), fake)
+    variables = nets.init_all(jax.random.PRNGKey(opt.seed), zero_batch)
     variables = {k: v for k, v in variables.items() if k in ("gen", "corr")}
-    loaded = test_cli.load_any_checkpoint(
-        opt, nets, variables, os.path.join(opt.checkpoints_dir, opt.name))
+    ckpt_dir = os.path.join(opt.checkpoints_dir, opt.name)
+    loaded = test_cli.load_any_checkpoint(opt, nets, variables, ckpt_dir)
     if loaded is not None:
         variables = loaded
+    elif opt.allow_random_weights:
+        print(f"WARNING: no checkpoint under {ckpt_dir}; serving RANDOM "
+              "weights (--allow_random_weights)", flush=True)
+    else:
+        raise SystemExit(f"No checkpoint found under {ckpt_dir}; refusing to "
+                         "serve random weights (--allow_random_weights to "
+                         "override)")
     step = make_inference_step(nets)
-    step(variables, fake)  # compile once up front
+    step(variables, zero_batch)  # compile once up front
     os.makedirs(extra_ns.out_dir, exist_ok=True)
     print(f"serving {opt.dataset_mode} from {extra_ns.watch_dir} "
-          f"(batch {b}, {h}px); compiled and resident", flush=True)
+          f"(batch {b}, {h}px, {label_ch}ch labels); compiled and resident",
+          flush=True)
 
-    def load_label(path):
-        arr = np.asarray(Image.open(path).resize((h, h), Image.NEAREST),
-                         dtype=np.float32)
-        if arr.ndim == 2:
-            arr = arr[:, :, None]
-        return arr
-
-    def load_ref(path):
-        img = Image.open(path).convert("RGB").resize((h, h), Image.BICUBIC)
-        return np.asarray(img, np.float32) / 127.5 - 1.0
+    def load_request(req):
+        """-> item dict (label/ref/label_ref) via the dataset pipeline."""
+        label_in = resolve_label_input(opt, extra_ns.watch_dir,
+                                       req + ".label")
+        ref_label_in = resolve_label_input(opt, extra_ns.watch_dir,
+                                           req + ".ref_label")
+        ref_path = os.path.join(extra_ns.watch_dir, req + ".ref.jpg")
+        if not os.path.exists(ref_path):
+            raise ValueError(f"missing {ref_path}")
+        label, _ = pipeline.get_label_tensor(label_in)
+        ref_label, ref_params = pipeline.get_label_tensor(ref_label_in)
+        ref_img = Image.open(ref_path).convert("RGB")
+        ref = T.image_to_tensor(opt, ref_img, ref_params)
+        if label.shape[-1] != label_ch or ref_label.shape[-1] != label_ch:
+            raise ValueError(
+                f"label pipeline produced {label.shape[-1]}ch, "
+                f"expected {label_ch}ch for {opt.dataset_mode}")
+        return {"label": label, "ref": ref, "label_ref": ref_label}
 
     done = set()
+    latencies = []
+    served = 0
     while True:
+        now = time.perf_counter()
         reqs = sorted(
-            f[: -len(".label.png")] for f in os.listdir(extra_ns.watch_dir)
-            if f.endswith(".label.png") and f[: -len(".label.png")] not in done
-            and os.path.exists(os.path.join(extra_ns.watch_dir,
-                                            f[: -len(".label.png")] + ".ref.jpg")))
+            f[: -len(".ref.jpg")] for f in os.listdir(extra_ns.watch_dir)
+            if f.endswith(".ref.jpg") and f[: -len(".ref.jpg")] not in done)
         if not reqs:
+            if extra_ns.once:
+                break
             time.sleep(extra_ns.poll_s)
             continue
         for i in range(0, len(reqs), b):
             chunk = reqs[i: i + b]
-            batch = {k: v.copy() for k, v in fake.items()}
+            batch = {k: v.copy() for k, v in zero_batch.items()}
+            ok = []
             for j, r in enumerate(chunk):
-                batch["label"][j] = load_label(
-                    os.path.join(extra_ns.watch_dir, r + ".label.png"))
-                batch["label_ref"][j] = batch["label"][j]
-                batch["ref"][j] = load_ref(
-                    os.path.join(extra_ns.watch_dir, r + ".ref.jpg"))
+                try:
+                    item = load_request(r)
+                except (ValueError, OSError) as e:
+                    with open(os.path.join(extra_ns.out_dir,
+                                           r + ".error.txt"), "w") as f:
+                        f.write(str(e) + "\n")
+                    done.add(r)
+                    continue
+                for k in ("label", "ref", "label_ref"):
+                    batch[k][j] = item[k]
+                ok.append((j, r))
+            if not ok:
+                continue
             out = np.asarray(step(variables, batch)["fake_image"])
-            for j, r in enumerate(chunk):
-                img = np.clip((out[j] + 1) * 127.5 + 0.5, 0, 255).astype(np.uint8)
+            for j, r in ok:
+                img = np.clip((out[j] + 1) * 127.5 + 0.5, 0, 255) \
+                    .astype(np.uint8)
                 Image.fromarray(img).save(
                     os.path.join(extra_ns.out_dir, r + ".png"))
                 done.add(r)
-            print(f"served {len(chunk)} requests", flush=True)
+            dt = time.perf_counter() - now
+            latencies.extend([dt * 1000.0] * len(ok))
+            served += len(ok)
+            now = time.perf_counter()
+            p50 = float(np.percentile(latencies, 50))
+            p99 = float(np.percentile(latencies, 99))
+            print(f"served {len(ok)} requests ({served} total); "
+                  f"latency p50 {p50:.1f} ms p99 {p99:.1f} ms", flush=True)
+        if extra_ns.once:
+            break
 
 
 if __name__ == "__main__":

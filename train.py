@@ -42,12 +42,12 @@ def main():
     from cocosnet_tpu.train import checkpoints as C
     from cocosnet_tpu.train import state as S
     from cocosnet_tpu.train import steps as ST
-    from cocosnet_tpu.utils.iter_counter import IterationCounter
+    from cocosnet_tpu.utils.iter_counter import TrainProgress
     from cocosnet_tpu.utils.logging import print_current_errors
     from cocosnet_tpu.utils import visuals as V
 
     dataloader = create_dataloader(opt)
-    iter_counter = IterationCounter(opt, len(dataloader.dataset))
+    progress = TrainProgress(opt, len(dataloader.dataset))
 
     mesh = M.create_mesh(data=opt.mesh_data)
     print(f"mesh: {mesh}")
@@ -94,7 +94,7 @@ def main():
             step_cache[noise_phase] = (ts, ds)
         return step_cache[noise_phase]
 
-    train_step, d_only_step = get_steps(iter_counter.first_epoch)
+    train_step, d_only_step = get_steps(progress.start_epoch)
     last_fake = None
 
     from cocosnet_tpu.utils.profiling import Throughput, maybe_trace
@@ -104,13 +104,13 @@ def main():
     if opt.output_dir != "./output":
         save_root = opt.output_dir
 
-    for epoch in iter_counter.training_epochs():
-        iter_counter.record_epoch_start(epoch)
+    for epoch in progress.epochs():
+        progress.begin_epoch(epoch)
         train_step, d_only_step = get_steps(epoch)
-        lr = jnp.asarray(S.lr_for_epoch(opt, epoch), jnp.float32)
+        lr = jnp.asarray(S.lrs_for_epoch(opt, epoch))  # (lr_G, lr_D)
         for i, (batch, paths) in enumerate(
                 prefetch_to_device(iter(dataloader), mesh)):
-            iter_counter.record_one_iteration()
+            events = progress.step()
             trace_this = bool(opt.profile_dir) and epoch == 1 and i == 2
             with maybe_trace(opt.profile_dir, trace_this):
                 if d_only_step is not None and i % opt.D_steps_per_G != 0 \
@@ -127,27 +127,27 @@ def main():
             # the standard loss-logging fetch on any backend
             float(next(iter(metrics.values())))
 
-            if iter_counter.needs_printing():
+            if events.print_losses:
                 metrics_np = {k: float(v) for k, v in metrics.items()}
                 metrics_np["img/s"] = throughput.step(opt.batchSize)
-                print_current_errors(opt, epoch, iter_counter.epoch_iter,
-                                     metrics_np, iter_counter.time_per_iter)
-            if iter_counter.needs_displaying():
+                print_current_errors(opt, epoch, progress.epoch_iter,
+                                     metrics_np, progress.time_per_img)
+            if events.display_visuals:
                 try:
                     _save_visuals(opt, batch, visuals, epoch,
-                                  iter_counter.total_steps_so_far, save_root, V)
+                                  progress.images_seen, save_root, V)
                 except OSError as err:
                     print(err)
-            if iter_counter.needs_saving():
+            if events.save_latest:
                 print(f"saving the latest model (epoch {epoch}, "
-                      f"total_steps {iter_counter.total_steps_so_far})")
+                      f"total_steps {progress.images_seen})")
                 C.save_state(opt, state, "latest")
-                iter_counter.record_current_iter()
-        iter_counter.record_epoch_end()
+                progress.save_record()
+        progress.end_epoch()
         if epoch % opt.save_epoch_freq == 0 or \
-                epoch == iter_counter.total_epochs:
+                epoch == progress.final_epoch:
             print(f"saving the model at the end of epoch {epoch}, "
-                  f"iters {iter_counter.total_steps_so_far}")
+                  f"iters {progress.images_seen}")
             C.save_state(opt, state, "latest")
             C.save_state(opt, state, str(epoch))
 
