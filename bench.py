@@ -98,6 +98,50 @@ def bench_tpu() -> float:
     return BATCH / dt
 
 
+def bench_train(batch: int = 4, steps: int = 6, remat: bool = False):
+    """Training throughput: the fused G+D step (all 11 loss terms, TTUR,
+    EMA, spectral norm) on the flagship ade20k config. Returns
+    (img/s/chip, s/step). Steps chain through the donated TrainState so the
+    timed fetch of the last metric forces the whole chain (one dispatch per
+    step, lazy on the remote runtime)."""
+    import jax
+    import jax.numpy as jnp
+    from cocosnet_tpu import pix2pix as P
+    from cocosnet_tpu.nn import layers as L
+    from cocosnet_tpu.train import state as S
+    from cocosnet_tpu.train import steps as ST
+
+    L.set_compute_dtype(jnp.bfloat16)
+    opt = _opt().replace(isTrain=True, batchSize=batch, remat=remat,
+                         use_ema=True, weight_mask=100.0)
+    nets = P.Pix2PixNets(opt)
+    rs = np.random.RandomState(0)
+    h = opt.crop_size
+    base = {
+        "label": rs.randint(0, opt.semantic_nc,
+                            (batch, h, h, 1)).astype(np.float32),
+        "image": (rs.rand(batch, h, h, 3).astype(np.float32) * 2 - 1),
+        "ref": (rs.rand(batch, h, h, 3).astype(np.float32) * 2 - 1),
+        "label_ref": rs.randint(0, opt.semantic_nc,
+                                (batch, h, h, 1)).astype(np.float32),
+        "self_ref": np.ones((batch,), np.float32),
+    }
+    dev_batch = {k: jax.device_put(v) for k, v in base.items()}
+    variables = nets.init_all(jax.random.PRNGKey(0), dev_batch)
+    state = S.create_train_state(opt, variables, jax.random.PRNGKey(0))
+    step = jax.jit(ST.make_train_step(nets), donate_argnums=(0,))
+    lr = jnp.asarray(S.lrs_for_epoch(opt, 1))
+
+    state, metrics, _ = step(state, dev_batch, lr)  # compile + warm
+    float(next(iter(metrics.values())))
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics, _ = step(state, dev_batch, lr)
+    float(next(iter(metrics.values())))
+    dt = (time.perf_counter() - t0) / steps
+    return batch / dt, dt
+
+
 def bench_torch_cpu() -> float:
     """Reference CoCosNet forward (netCorr + netG) on CPU torch."""
     import torch
@@ -176,6 +220,14 @@ def main():
     except Exception as e:
         print(f"latency bench failed: {e}", file=sys.stderr)
         p50 = None
+    train_ips = train_spb = train_batch = None
+    for b in (8, 4):  # largest per-chip batch that fits, then fallback
+        try:
+            train_ips, train_spb = bench_train(batch=b)
+            train_batch = b
+            break
+        except Exception as e:
+            print(f"train bench (batch {b}) failed: {e}", file=sys.stderr)
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_cpu_baseline.json")
     cpu_ips = None
@@ -197,6 +249,11 @@ def main():
         "images_per_sec_chip": round(tpu_ips, 2),
         "p50_single_image_latency_ms": (round(p50 * 1e3, 1)
                                         if p50 is not None else None),
+        "train_images_per_sec_chip": (round(train_ips, 2)
+                                      if train_ips is not None else None),
+        "train_sec_per_step": (round(train_spb, 3)
+                               if train_spb is not None else None),
+        "train_batch_per_chip": train_batch,
         "torch_cpu_images_per_sec": (round(cpu_ips, 4)
                                      if cpu_ips == cpu_ips else None),
         "config": "ade20k 256px batch 6, --use_attention --maskmix "

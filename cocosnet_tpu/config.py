@@ -155,7 +155,14 @@ class Options:
     log_compiles: bool = False
     allow_random_weights: bool = False  # let test.py/serve.py run uncheckpointed
     profile_dir: str = ""              # jax.profiler trace output (train)
-    remat: bool = False                # rematerialize the G forward (2x batch)
+    remat: bool = False                # per-SPADE-block + VGG remat (2x batch)
+    remat_full: bool = False           # additionally checkpoint the whole G forward
+    # multi-host launch (jax.distributed): --distributed on each host; on TPU
+    # pods the coordinator/process args auto-detect, elsewhere pass all three
+    distributed: bool = False
+    coordinator_address: str = ""      # host:port of process 0
+    num_processes: int = -1            # -1 = auto-detect (TPU pod metadata)
+    process_id: int = -1               # -1 = auto-detect
 
     # ---- derived (set in finalize) ----
     semantic_nc: int = 0

@@ -34,9 +34,16 @@ def collate(items: List[Dict]) -> Dict[str, np.ndarray]:
 
 class DataLoader:
     """Iterates epoch batches: shuffle (unless serial_batches), drop_last in
-    training (data/__init__.py:47-53)."""
+    training (data/__init__.py:47-53).
 
-    def __init__(self, dataset, opt: Options):
+    Multi-host: every process builds the IDENTICAL global batch order (the
+    shuffle is seeded by opt.seed only), then loads just its contiguous
+    `process_shard` slice of each global batch — so batchSize stays the
+    GLOBAL batch size and hosts never duplicate decode work."""
+
+    def __init__(self, dataset, opt: Options,
+                 process_index: int | None = None,
+                 process_count: int | None = None):
         self.dataset = dataset
         self.opt = opt
         self.batch_size = opt.batchSize
@@ -44,11 +51,24 @@ class DataLoader:
         self.drop_last = opt.isTrain
         self.rng = random.Random(opt.seed)
         self.workers = max(1, min(opt.nThreads, 8))
+        if process_count is None:
+            import jax
+            process_count = jax.process_count()
+            process_index = jax.process_index()
+        self.process_count = process_count
+        self.process_index = process_index
+        if process_count > 1:
+            from cocosnet_tpu.mesh import process_shard
+            self._shard = process_shard(self.batch_size,
+                                        process_index, process_count)
+        else:
+            self._shard = (0, self.batch_size)
 
     def __len__(self) -> int:
         n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else \
-            (n + self.batch_size - 1) // self.batch_size
+        if self.drop_last or self.process_count > 1:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         indices = list(range(len(self.dataset)))
@@ -58,6 +78,11 @@ class DataLoader:
             indices = indices[: len(self) * self.batch_size]
         batches = [indices[i: i + self.batch_size]
                    for i in range(0, len(indices), self.batch_size)]
+        if self.process_count > 1:
+            start, size = self._shard
+            # drop the ragged tail batch: it can't split evenly across hosts
+            batches = [b[start: start + size] for b in batches
+                       if len(b) == self.batch_size]
 
         if self.workers <= 1:
             for batch_idx in batches:

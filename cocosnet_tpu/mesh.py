@@ -8,8 +8,14 @@ all-reduce and the (global) batch-stat reductions automatically when the
 train step is jitted with these shardings. A `model` axis is reserved so
 tensor-parallel sharding can be layered in without API changes.
 
-Multi-host: call jax.distributed.initialize() before create_mesh() — the
-mesh then spans all processes over DCN and the same code runs unchanged.
+Multi-host: `maybe_init_distributed(opt)` (called by train.py before any
+device query) brings up jax.distributed; create_mesh() then spans all
+processes over DCN and the same jitted step runs unchanged — each host feeds
+its `process_shard` slice of the global batch and
+`make_global_batch`/`shard_batch` assemble the sharded global arrays from the
+per-host pieces. The reference's analogue is single-process DataParallel
+(README.md:83 trains batch 32 over 8 GPUs on one host); this scales the same
+recipe across hosts with XLA DCN collectives.
 """
 
 from __future__ import annotations
@@ -17,6 +23,46 @@ from __future__ import annotations
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def maybe_init_distributed(opt) -> bool:
+    """Bring up the jax.distributed runtime when --distributed is set (or the
+    JAX_COORDINATOR_ADDRESS env is present). Must run before jax.devices().
+    Returns True when running multi-process."""
+    import os
+    want = bool(getattr(opt, "distributed", False)) or bool(
+        os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    if not want:
+        return jax.process_count() > 1
+    kw = {}
+    coord = getattr(opt, "coordinator_address", "") or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS", "")
+    if coord:
+        kw["coordinator_address"] = coord
+    if getattr(opt, "num_processes", -1) >= 0:
+        kw["num_processes"] = opt.num_processes
+    if getattr(opt, "process_id", -1) >= 0:
+        kw["process_id"] = opt.process_id
+    jax.distributed.initialize(**kw)  # no-arg form auto-detects on TPU pods
+    return jax.process_count() > 1
+
+
+def process_shard(global_batch_size: int,
+                  process_index: int | None = None,
+                  process_count: int | None = None) -> tuple[int, int]:
+    """(start, size) of this host's slice of every global batch.
+
+    The global batch is split contiguously and equally across processes —
+    required to line up with NamedSharding(P("data")) over a mesh whose
+    device order is jax.devices() (process-major). batchSize must divide."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    if global_batch_size % pc != 0:
+        raise ValueError(
+            f"global batchSize {global_batch_size} must be divisible by the "
+            f"process count {pc} (each host feeds an equal contiguous shard)")
+    size = global_batch_size // pc
+    return pi * size, size
 
 
 def create_mesh(data: int = 0, model: int = 1,
@@ -39,6 +85,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch dict with the batch dim sharded over `data`."""
+    """Device-put a host batch dict with the batch dim sharded over `data`.
+
+    Single-process: a plain sharded device_put. Multi-process: each host holds
+    only its process_shard slice, and the global jax.Arrays are assembled from
+    the per-host pieces (data travels host->its own devices only; no DCN)."""
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    pc = jax.process_count()
+
+    def put(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * pc,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sh, x, global_shape)
+
+    return jax.tree.map(put, batch)

@@ -69,10 +69,17 @@ class SPADEGenerator(nn.Module):
         cfg = spade_config_str(opt)
         ic = cbn_channels(opt)
 
+        # --remat: rematerialize each SPADE block in the backward pass (only
+        # block boundaries are saved). Much cheaper than checkpointing the
+        # whole G forward: the conditioning-map resizes + 2-3 convs per block
+        # are recomputed, the correlation is not.
+        Block = (nn.remat(SPADEResnetBlock, static_argnums=(2,))
+                 if opt.remat else SPADEResnetBlock)
+
         def block(fin, fout, name):
-            return SPADEResnetBlock(fin, fout, cfg, ic, use_spectral=use_sn,
-                                    eqlr_sn=opt.eqlr_sn, pono=opt.PONO,
-                                    name=name)
+            return Block(fin, fout, cfg, ic, use_spectral=use_sn,
+                         eqlr_sn=opt.eqlr_sn, pono=opt.PONO,
+                         name=name)
 
         x = resize_nearest(seg, sh, sw)
         x = Conv2d(16 * nf, 3, padding=1,
@@ -129,11 +136,14 @@ class AdaptiveFeatureGenerator(nn.Module):
             h = nconv(ndf * 8, ak, 2, "layer4")(leaky_relu(h), train)
         h = nconv(ndf * 8, kw, 1, "layer5")(leaky_relu(h), train)
 
+        Block = (nn.remat(SPADEResnetBlock, static_argnums=(2,))
+                 if opt.remat else SPADEResnetBlock)
+
         def block(fin, fout, name, use_se=False, dilation=1):
-            return SPADEResnetBlock(fin, fout, cfg, self.spade_ic,
-                                    use_spectral=use_sn, eqlr_sn=opt.eqlr_sn,
-                                    pono=opt.PONO, use_se=use_se,
-                                    dilation=dilation, name=name)
+            return Block(fin, fout, cfg, self.spade_ic,
+                         use_spectral=use_sn, eqlr_sn=opt.eqlr_sn,
+                         pono=opt.PONO, use_se=use_se,
+                         dilation=dilation, name=name)
 
         h = block(8 * nf, 8 * nf, "head_0", use_se=opt.adaptor_se)(h, seg, train)
         if opt.adaptor_nonlocal:

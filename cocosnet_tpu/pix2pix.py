@@ -105,6 +105,16 @@ def cbn_input(opt: Options, warp_out: Array, input_semantics: Array) -> Array:
 
 # ------------------------------------------------------------- preprocessing
 
+def _policy_dtype(opt: Options):
+    """The active low-precision activation dtype, or None. Requires BOTH the
+    global policy (set by the CLIs via layers.set_compute_dtype) and
+    opt.compute_dtype to agree — so a process that mixes configs (tests,
+    serving multiple models) honors each opt."""
+    from cocosnet_tpu.nn.layers import get_compute_dtype
+    dt = get_compute_dtype()
+    return dt if (dt is not None and opt.compute_dtype == "bf16") else None
+
+
 def preprocess_input(opt: Options, data: Dict[str, Array]) -> Dict[str, Array]:
     """One-hot scatter + dataset-specific label handling
     (pix2pix_model.py:144-194). NHWC; runs on device under jit.
@@ -142,6 +152,15 @@ def preprocess_input(opt: Options, data: Dict[str, Array]) -> Dict[str, Array]:
             # (pix2pix_model.py:189-193)
             input_semantics = input_semantics.at[..., -3:-2].set(glasses)
             ref_semantics = ref_semantics.at[..., -3:-2].set(glasses_ref)
+
+    cdt = _policy_dtype(opt)
+    if cdt is not None:
+        # the (B,H,W,semantic_nc) one-hot maps are the largest live tensors
+        # of a train step (~0.3 GB each at batch 8/256px in f32); 0/1 values
+        # are exact in bf16 and every consumer casts to the compute dtype
+        # anyway, so carry them in bf16 end-to-end
+        input_semantics = input_semantics.astype(cdt)
+        ref_semantics = ref_semantics.astype(cdt)
 
     return dict(
         input_label=input_label,
@@ -193,6 +212,13 @@ def discriminate(nets: Pix2PixNets, disc_vars: Vars, input_semantics: Array,
                  mutable=False):
     """Fake and real stacked in ONE batch so any batch-norm statistics are
     shared (pix2pix_model.py:342-353)."""
+    cdt = _policy_dtype(nets.opt)
+    if cdt is not None:
+        # keep the (2B,H,W,semantic_nc+3) stack in the compute dtype: D's
+        # first conv casts there anyway and the concat is a top HBM resident
+        fake_image = fake_image.astype(cdt)
+        real_image = real_image.astype(cdt)
+        input_semantics = input_semantics.astype(cdt)
     fake_concat = jnp.concatenate([input_semantics, fake_image], axis=-1)
     real_concat = jnp.concatenate([input_semantics, real_image], axis=-1)
     fake_and_real = jnp.concatenate([fake_concat, real_concat], axis=0)

@@ -61,11 +61,12 @@ def make_train_step(nets: P.Pix2PixNets):
             return P.generate_fake(nets, vars_g, data, train=True,
                                    rngs={"noise": key}, mutable=True)
 
-        if opt.remat:
-            # recompute the correspondence+generator forward in the backward
-            # pass instead of saving its activations (the N^2 softmax logits
-            # dominate); jax.checkpoint trades ~30% step time for roughly 2x
-            # larger per-chip batch
+        if opt.remat_full:
+            # nuclear option on top of --remat: recompute the ENTIRE
+            # correspondence+generator forward in the backward pass (only the
+            # step inputs are saved). --remat alone (per-SPADE-block remat
+            # inside G/adaptors + VGG checkpoint, see models/generator.py)
+            # reaches the same per-chip batch at far less recompute.
             _forward = jax.checkpoint(_forward)
 
         def g_loss_fn(gp):

@@ -88,11 +88,14 @@ class TrainProgress:
         # yielded a ragged final batch last epoch
         self.images_seen = (epoch - 1) * self.images_per_epoch
 
-    def end_epoch(self) -> None:
+    def end_epoch(self, verbose: bool = True) -> None:
+        """verbose=False on non-zero processes of a multi-host run (they keep
+        the bookkeeping but skip stdout and the iter.txt write)."""
         dt = time.time() - self._epoch_t0
-        print(f"End of epoch {self.current_epoch} / {self.final_epoch} \t "
-              f"Time Taken: {dt:.0f} sec")
-        if self.current_epoch % self.save_epoch_freq == 0:
+        if verbose:
+            print(f"End of epoch {self.current_epoch} / {self.final_epoch} "
+                  f"\t Time Taken: {dt:.0f} sec")
+        if verbose and self.current_epoch % self.save_epoch_freq == 0:
             self._write_record(self.current_epoch + 1, 0)
 
     # -------------------------------------------------------------- steps

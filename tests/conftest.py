@@ -15,3 +15,16 @@ import jax
 
 if os.environ.get("COCOSNET_TEST_TPU") != "1":
     jax.config.update("jax_platforms", "cpu")
+
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _reset_compute_dtype():
+    """The bf16 activation policy is process-global (set by CLI entry points
+    some tests exercise, e.g. serve); restore it around every test so a bf16
+    test can't leak the policy into an f32 parity test."""
+    from cocosnet_tpu.nn import layers as L
+    prev = L.get_compute_dtype()
+    yield
+    L.set_compute_dtype(prev)

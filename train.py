@@ -25,11 +25,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main():
     from cocosnet_tpu.config import parse_options, save_options
     opt = parse_options(is_train=True)
-    save_options(opt, os.path.join(opt.checkpoints_dir, opt.name, "opt.json"))
 
     import jax
     if opt.platform:
         jax.config.update("jax_platforms", opt.platform)
+    from cocosnet_tpu import mesh as M0
+    multiproc = M0.maybe_init_distributed(opt)  # before any device query
+    is_main = jax.process_index() == 0
+    if multiproc:
+        print(f"distributed: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices")
+    if is_main:
+        save_options(opt,
+                     os.path.join(opt.checkpoints_dir, opt.name, "opt.json"))
     import jax.numpy as jnp
 
     import jax.numpy as jnp_
@@ -127,37 +136,50 @@ def main():
             # the standard loss-logging fetch on any backend
             float(next(iter(metrics.values())))
 
-            if events.print_losses:
+            if events.print_losses and is_main:
                 metrics_np = {k: float(v) for k, v in metrics.items()}
                 metrics_np["img/s"] = throughput.step(opt.batchSize)
                 print_current_errors(opt, epoch, progress.epoch_iter,
                                      metrics_np, progress.time_per_img)
-            if events.display_visuals:
+            if events.display_visuals and is_main:
                 try:
                     _save_visuals(opt, batch, visuals, epoch,
                                   progress.images_seen, save_root, V)
                 except OSError as err:
                     print(err)
             if events.save_latest:
-                print(f"saving the latest model (epoch {epoch}, "
-                      f"total_steps {progress.images_seen})")
-                C.save_state(opt, state, "latest")
-                progress.save_record()
-        progress.end_epoch()
+                if is_main:
+                    print(f"saving the latest model (epoch {epoch}, "
+                          f"total_steps {progress.images_seen})")
+                C.save_state(opt, state, "latest")  # collective on multi-host
+                if is_main:
+                    progress.save_record()
+        progress.end_epoch(verbose=is_main)
         if epoch % opt.save_epoch_freq == 0 or \
                 epoch == progress.final_epoch:
-            print(f"saving the model at the end of epoch {epoch}, "
-                  f"iters {progress.images_seen}")
+            if is_main:
+                print(f"saving the model at the end of epoch {epoch}, "
+                      f"iters {progress.images_seen}")
             C.save_state(opt, state, "latest")
             C.save_state(opt, state, str(epoch))
 
-    print("Training was successfully finished.")
+    if is_main:
+        print("Training was successfully finished.")
+
+
+def _np_local(x):
+    """Local-process view of a (possibly multi-host sharded) jax.Array."""
+    import numpy as np
+    if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+        shards = sorted(x.addressable_shards, key=lambda s: s.index)
+        return np.concatenate([np.asarray(s.data) for s in shards])
+    return np.asarray(x)
 
 
 def _save_visuals(opt, batch, visuals, epoch, step, save_root, V):
     import numpy as np
     imgs_dir = os.path.join(save_root, "training", opt.name)
-    fake = np.asarray(visuals["fake_image"])
+    fake = _np_local(visuals["fake_image"])
     real = np.asarray(batch["image"])
     ref = np.asarray(batch["ref"])
     label = np.asarray(batch["label"])
@@ -170,7 +192,7 @@ def _save_visuals(opt, batch, visuals, epoch, step, save_root, V):
         label_vis = np.transpose(rgb, (0, 2, 3, 1)) / 128.0 - 1.0
     rows = [label_vis, ref]
     if visuals.get("warp_out") is not None:
-        rows.append(np.asarray(visuals["warp_out"]))
+        rows.append(_np_local(visuals["warp_out"]))
     rows += [fake, real]
     imgs = (np.concatenate(rows, axis=0) + 1.0) / 2.0
     V.save_image_grid(
