@@ -287,8 +287,14 @@ def warp_mask_loss(opt: Options, warp_mask: Array, input_label: Array,
 
 def compute_generator_losses(nets: Pix2PixNets, variables: Dict[str, Vars],
                              data: Dict[str, Array], generate_out,
-                             disc_vars: Vars) -> Dict[str, Array]:
-    """pix2pix_model.py:205-279 — all 11 loss terms."""
+                             disc_vars: Vars, mutable_disc: bool = False):
+    """pix2pix_model.py:205-279 — all 11 loss terms.
+
+    mutable_disc=True additionally returns the discriminator's state updates
+    from its forward here (-> (losses, d_updates)): torch's spectral-norm
+    pre-hook advances D's power iteration on EVERY forward, including this
+    G-step discriminate (pix2pix_model.py:230-231), so the train step merges
+    these updates to reproduce the reference's u/v trajectory exactly."""
     opt = nets.opt
     sg = jax.lax.stop_gradient
     losses: Dict[str, Array] = {}
@@ -317,9 +323,9 @@ def compute_generator_losses(nets: Pix2PixNets, variables: Dict[str, Vars],
             jnp.abs(generate_out["warp_out"] - real_image) * sample_weights
         ) * opt.warp_self_w
 
-    pred_fake, pred_real, cam_logits, _ = discriminate(
+    pred_fake, pred_real, cam_logits, disc_updates = discriminate(
         nets, disc_vars, data["input_semantics"], generate_out["fake_image"],
-        real_image, train=True, mutable=False)
+        real_image, train=True, mutable=mutable_disc)
 
     losses["GAN"] = gan_loss(pred_fake, True, for_discriminator=False,
                              gan_mode=opt.gan_mode) * opt.weight_gan
@@ -357,6 +363,8 @@ def compute_generator_losses(nets: Pix2PixNets, variables: Dict[str, Vars],
             ref_label = ref_label[..., 0].astype(jnp.int32)
         losses["mask"] = warp_mask_loss(opt, generate_out["warp_mask"],
                                         input_label, ref_label)
+    if mutable_disc:
+        return losses, disc_updates
     return losses
 
 

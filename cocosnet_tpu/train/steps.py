@@ -8,12 +8,11 @@ the batch sharded over the `data` mesh axis this single program contains the
 cross-replica gradient reductions — the DataParallel scatter/gather and
 SyncBN callbacks of the reference dissolve into XLA collectives.
 
-Deviation noted for parity: torch advances every spectral-norm power
-iteration on each *forward* (so D's u advances twice per iteration — once in
-the G step's discriminate, once in the D step). Here D's u advances once per
-iteration, in the D step; G/Corr's advance once in the G step, identical to
-torch. The power iteration is a running estimator, so this changes nothing
-measurable.
+Spectral-norm state matches torch exactly: every forward in train mode
+advances the power iteration (torch's pre-hook semantics), so D's u advances
+twice per iteration — once in the G step's discriminate (mutable_disc
+updates merged below), once in the D step — and G/Corr's once in the G
+step. Pinned end-to-end by tests/test_trajectory_parity.py.
 """
 
 from __future__ import annotations
@@ -76,15 +75,21 @@ def make_train_step(nets: P.Pix2PixNets):
                                                  data["ref_image"])
             out["real_features"] = P.vgg_features(nets, variables["vgg"],
                                                   data["real_image"])
-            losses = P.compute_generator_losses(nets, vars_g, data, out,
-                                                variables["disc"])
+            # mutable_disc: torch's spectral pre-hook advances D's power
+            # iteration on this forward too (so D's u advances twice per
+            # reference iteration); carrying the updates reproduces the
+            # reference's spectral trajectory exactly
+            losses, disc_upd = P.compute_generator_losses(
+                nets, vars_g, data, out, variables["disc"], mutable_disc=True)
             total = sum(losses.values())
-            return total, (losses, out, updates)
+            return total, (losses, out, updates, disc_upd)
 
-        (_, (g_losses, gen_out, g_updates)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(S.g_params(variables))
+        (_, (g_losses, gen_out, g_updates, disc_upd)), g_grads = \
+            jax.value_and_grad(g_loss_fn, has_aux=True)(S.g_params(variables))
 
         variables = _merge_updates(variables, g_updates)
+        if disc_upd:
+            variables = _merge_updates(variables, {"disc": disc_upd})
         opt_g = optax.tree_utils.tree_set(state.opt_g,
                                           learning_rate=lr[0])
         g_up, opt_g = tx_g.update(g_grads, opt_g, S.g_params(variables))

@@ -11,11 +11,10 @@ tracking, compounded over many steps.
 Run via pytest (tests/test_trajectory_parity.py, short) or standalone:
   python tools/parity_trajectory.py --steps 50 --out parity_curves.json
 
-Norms are configured WITHOUT spectral normalization for the trajectory
-(norm_G spadesyncbatch3x3 / norm_D,E instance): the reference advances D's
-spectral power iteration twice per iteration (G-step discriminate + D step)
-where we advance it once (documented deviation, train/steps.py:11-16);
-spectral-norm parity itself is pinned separately in test_layers_norms.py.
+Runs with the reference's default spectral norms: our train step reproduces
+torch's pre-hook semantics exactly (D's power iteration advances in the
+G-step discriminate AND the D step — train/steps.py mutable_disc), so the
+u/v trajectories match too.
 """
 
 from __future__ import annotations
@@ -68,13 +67,14 @@ def _make_batches(n_steps: int, b: int, size: int, label_nc: int, seed=123):
 
 _TRAIN_OVERRIDES = dict(
     isTrain=True, phase="train",
-    norm_G="spadesyncbatch3x3", norm_D="instance", norm_E="instance",
+    norm_G="spectralspadesyncbatch3x3", norm_D="spectralinstance",
+    norm_E="spectralinstance",
     label_nc=12, contain_dontcare_label=True, semantic_nc=13,
     crop_size=64, batchSize=2, ngf=64, ndf=16, num_D=2, n_layers_D=4,
     use_attention=True, maskmix=True, warp_mask_losstype="direct",
     weight_mask=100.0, match_kernel=1, PONO=True, PONO_C=True,
     vgg_normal_correct=True, use_ema=True, ema_beta=0.999,
-    lr=2e-4, beta1=0.5, beta2=0.999, no_TTUR=False,
+    lr=1e-4, beta1=0.5, beta2=0.999, no_TTUR=False,
     lambda_feat=10.0, lambda_vgg=10.0, no_ganFeat_loss=False,
     gan_mode="hinge", which_perceptual="5_2", weight_perceptual=0.01,
     weight_gan=10.0, novgg_featpair=10.0, fm_ratio=0.1, ctx_w=1.0,
@@ -103,7 +103,17 @@ def run_torch(batches, vgg_sd):
             return vgg_sd
         return real_load(path, *a, **k)
 
+    real_adam = torch.optim.Adam
+
+    class _Adam(real_adam):
+        # the reference passes betas=(0, 0.9) with an int 0
+        # (pix2pix_model.py:102), which torch >= 2.5 rejects
+        def __init__(self, params, *a, betas=(0.9, 0.999), **k):
+            super().__init__(params, *a,
+                             betas=tuple(float(b) for b in betas), **k)
+
     torch.load = fake_load
+    torch.optim.Adam = _Adam
     try:
         torch.manual_seed(0)
         cwd = os.getcwd()
@@ -115,6 +125,7 @@ def run_torch(batches, vgg_sd):
             os.chdir(cwd)
     finally:
         torch.load = real_load
+        torch.optim.Adam = real_adam
 
     model = trainer.pix2pix_model_on_one_gpu
     init_sd = {
@@ -134,7 +145,13 @@ def run_torch(batches, vgg_sd):
                     v[:, None, None, None].repeat(3, 1).reshape(
                         v.shape[0], 3, 1, 1))
             else:
-                out[k] = torch.from_numpy(np.transpose(v, (0, 3, 1, 2)))
+                t = torch.from_numpy(np.transpose(v, (0, 3, 1, 2)))
+                if k in ("label", "label_ref"):
+                    # the reference .long()s these only on its .cuda() path
+                    # (pix2pix_model.py:166-176); the CPU path needs them
+                    # integral already for scatter_
+                    t = t.long()
+                out[k] = t
         return out
 
     curves = {}
