@@ -50,7 +50,17 @@ def contextual_loss(x_features: Array, y_features: Array, h: float = 0.1,
     x = flat_norm(x_features)   # (B, N, C)
     y = flat_norm(y_features)   # (B, M, C)
     d = 1.0 - jnp.einsum("bnc,bmc->bnm", x, y,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGH)
+    # d = 1 - cos >= 0 mathematically; enforce it against matmul rounding.
+    # Without this, TPU bf16 rounding can push cos ~1e-2 past 1, making
+    # min(d) + 1e-3 NEGATIVE — then d_norm is hugely negative for the other
+    # entries and exp((1-d_norm)/h) overflows to inf -> inf/inf = NaN. This
+    # killed training ~5 steps after the fake started matching the exemplar
+    # (the trajectory-parity harness caught it; the reference never hits it
+    # because f32 CUDA rounding stays ~1e-7). With d >= 0 the denominator is
+    # >= 1e-3 and w <= e^10: every downstream term is bounded.
+    d = jnp.maximum(d, 0.0)
     d_norm = d / (jnp.min(d, axis=-1, keepdims=True) + 1e-3)
     w = jnp.exp((1.0 - d_norm) / h)
     # guard: with degenerate (near-zero) features d_norm explodes and every

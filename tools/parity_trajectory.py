@@ -242,7 +242,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--out", default="parity_curves.json")
+    ap.add_argument("--platform", default="cpu",
+                    help="jax platform for our side; cpu = f32 apples-to-"
+                         "apples vs the torch-CPU reference (the TPU's bf16 "
+                         "matmuls add ~1e-3 noise that compounds)")
     args = ap.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     torch_curves, our_curves = run_parity(args.steps)
     report = {}
     for k in sorted(torch_curves):

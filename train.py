@@ -134,7 +134,14 @@ def main():
             # remote runtime's lazy execution chain short (multi-hundred-step
             # unmaterialized chains have produced corrupted replays) and is
             # the standard loss-logging fetch on any backend
-            float(next(iter(metrics.values())))
+            probe = float(next(iter(metrics.values())))
+            if probe != probe:  # NaN guard (free: probe is fetched anyway)
+                C.save_state(opt, state, "nan_debug")
+                raise FloatingPointError(
+                    f"loss went NaN at epoch {epoch}, iter "
+                    f"{progress.epoch_iter} — state saved as "
+                    f"'nan_debug' for inspection; rerun with "
+                    f"--compute_dtype f32 and/or a lower --lr")
 
             if events.print_losses and is_main:
                 metrics_np = {k: float(v) for k, v in metrics.items()}
