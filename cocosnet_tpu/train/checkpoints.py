@@ -29,11 +29,27 @@ def _ckpt_dir(opt, label: str) -> str:
 
 
 def save_state(opt, state, label: str) -> None:
+    """Overwrite-safe save: orbax's force=True deletes the existing
+    directory BEFORE the new checkpoint lands, leaving a seconds-long window
+    where a concurrent reader (test.py / serve.py against a live training
+    run) sees no checkpoint at all. Write to a side path and swap instead,
+    so `state_<label>` always points at a complete checkpoint."""
+    import shutil
+
     import orbax.checkpoint as ocp
     path = _ckpt_dir(opt, label)
+    new_path = path + ".new"
+    old_path = path + ".old"
+    shutil.rmtree(new_path, ignore_errors=True)
+    shutil.rmtree(old_path, ignore_errors=True)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, state, force=True)
+    ckptr.save(new_path, state, force=True)
     ckptr.wait_until_finished()
+    if jax.process_index() == 0:
+        if os.path.exists(path):
+            os.rename(path, old_path)
+        os.rename(new_path, path)   # atomic on POSIX
+        shutil.rmtree(old_path, ignore_errors=True)
 
 
 def load_state(opt, like_state, label: str):

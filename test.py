@@ -130,7 +130,14 @@ def load_any_checkpoint(opt, nets, variables, ckpt_dir):
     # 2) full TrainState saved by train.py (state_<label>); EMA preferred
     #    when --use_ema, matching reference test-time loading
     #    (pix2pix_model.py:134-136)
-    if os.path.isdir(os.path.join(ckpt_dir, f"state_{label}")):
+    # (retry: a concurrent train.py may be mid-swap of state_<label> —
+    # checkpoints.save_state makes the window two renames wide, but a reader
+    # can still land inside it)
+    for attempt in range(3):
+        if not os.path.isdir(os.path.join(ckpt_dir, f"state_{label}")):
+            import time
+            time.sleep(1.0)
+            continue
         try:
             raw = C.load_raw(opt, label)
             out = C.infer_vars_from_train_state(raw, variables, opt.use_ema)
@@ -138,7 +145,10 @@ def load_any_checkpoint(opt, nets, variables, ckpt_dir):
                   + (" (EMA weights)" if opt.use_ema else ""))
             return out
         except Exception as e:
-            print(f"could not extract inference weights from state_{label}: {e}")
+            print(f"could not extract inference weights from state_{label} "
+                  f"(attempt {attempt + 1}/3): {e}")
+            import time
+            time.sleep(1.0)
     # 3) torch .pth files saved by the reference
     g_path = os.path.join(ckpt_dir, f"{label}_net_G.pth")
     corr_path = os.path.join(ckpt_dir, f"{label}_net_Corr.pth")
