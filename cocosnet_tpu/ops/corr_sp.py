@@ -1,0 +1,156 @@
+"""Spatial-parallel (SP) correlation: shard the query rows of the
+match_kernel-unfold correlation over a mesh axis.
+
+The reference's only parallelism is data-parallel (one sample per device,
+pix2pix_trainer.py:23-26). The correlation is the quadratic object — at
+512px the logits are 16384^2 per sample and the attend dominates latency —
+so the TPU-native scaling axis beyond batch is the SEQUENCE: each device
+owns a contiguous block of query rows, keys/values are all-gathered once
+over ICI, and the one-row halos the 3x3 unfold needs travel by
+`lax.ppermute` (whose zero-fill at the edge devices is EXACTLY the unfold's
+zero padding — no boundary special-casing).
+
+    out rows owned            collectives used
+    device 0:  [0,   H/m)     all_gather(g, v)  +  ppermute halos of f
+    device 1:  [H/m, 2H/m)    ...
+    ...
+
+Per-device cost: 1/m of the N x N x C' matmul FLOPs, O(N*C) memory (the
+logits stream block-row-wise exactly as in ops/corr_shift.py). Use inside
+`shard_map` over a Mesh axis (tests/test_corr_sp.py shows the pattern);
+compose with the `data` axis for batch parallelism: P("data", "model")
+sharding on the NHWC feature rows gives 2-D parallel correlation.
+
+This extends SURVEY §2.10 beyond the reference's scope (the `model` axis
+round 1 only reserved).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cocosnet_tpu.ops.corr_shift import _safe_norm
+
+Array = jax.Array
+_PRECISION = jax.lax.Precision.HIGH
+
+
+def _halo_rows(x: Array, p: int, axis_name: str) -> Array:
+    """Extend (B, Hl, W, C) with p rows from the previous/next shard along
+    `axis_name`. Edge devices receive zeros from ppermute's unmatched
+    slots — identical to the unfold's zero padding of the global image."""
+    n = jax.lax.axis_size(axis_name)
+    if n == 1:
+        return jnp.pad(x, ((0, 0), (p, p), (0, 0), (0, 0)))
+    # bottom p rows of the previous shard -> my top halo
+    fwd = [(i, (i + 1) % n) for i in range(n - 1)]  # no wraparound
+    top = jax.lax.ppermute(x[:, -p:], axis_name, fwd)
+    # top p rows of the next shard -> my bottom halo
+    bwd = [(i + 1, i) for i in range(n - 1)]
+    bot = jax.lax.ppermute(x[:, :p], axis_name, bwd)
+    return jnp.concatenate([top, x, bot], axis=1)
+
+
+def _box_stats_from_halo(xh: Array, k: int, h: int, w: int):
+    """Per-position unfold-descriptor (sum, sumsq) for the h owned rows,
+    from the halo-extended block xh (B, h+2p, W, C); zero-pad columns."""
+    p = k // 2
+    s1h = jnp.sum(xh, axis=-1)            # (B, h+2p, W)
+    s2h = jnp.sum(xh * xh, axis=-1)
+
+    def box(z):
+        zp = jnp.pad(z, ((0, 0), (0, 0), (p, p)))
+        return sum(zp[:, dy:dy + h, dx:dx + w]
+                   for dy in range(k) for dx in range(k))
+
+    return box(s1h), box(s2h)
+
+
+def attend_unfold_sp(f_shard: Array, g_shard: Array, v_shard: Array,
+                     tau: float, axis_name: str,
+                     match_kernel: int = 3, pono_c: bool = True,
+                     row_chunk: int = 8) -> Array:
+    """SP form of ops/corr_shift.attend_unfold, called inside shard_map.
+
+    f_shard: (B, Hl, W, C) — this device's contiguous query rows.
+    g_shard: (B, Hl, W, C) — this device's shard of the key feature map.
+    v_shard: (B, Hl*W, D) — this device's shard of the value rows.
+    Returns (B, Hl*W, D): the warped output for the owned query rows —
+    concatenating shards over the axis reproduces the single-device result.
+
+    Only PONO_C centering is offered in SP form (the flagship config);
+    spatial centering would need psum'd global descriptor means — fall back
+    to the replicated path for that rare flag combination.
+    """
+    if not pono_c:
+        raise NotImplementedError(
+            "attend_unfold_sp implements PONO_C centering (the flagship "
+            "config); use the replicated attend_unfold for spatial centering")
+    k = match_kernel
+    p = k // 2
+    b, hl, w, c = f_shard.shape
+    cd = c * k * k
+    f_shard = f_shard.astype(jnp.float32)
+    g_shard = g_shard.astype(jnp.float32)
+
+    # keys/values once over ICI; (B, H, W, C) / (B, N, D)
+    g_full = jax.lax.all_gather(g_shard, axis_name, axis=1, tiled=True)
+    v_full = jax.lax.all_gather(v_shard, axis_name, axis=1, tiled=True)
+    v_full = v_full.astype(jnp.float32)
+    hg = g_full.shape[1]
+    n_keys = hg * w
+
+    # ---- key-side stats (replicated computation over the gathered keys)
+    gp = jnp.pad(g_full, ((0, 0), (p, p), (p, p), (0, 0)))
+    gs1h, gs2h = _box_stats_from_halo(
+        jnp.pad(g_full, ((0, 0), (p, p), (0, 0), (0, 0))), k, hg, w)
+    k_mu = (gs1h / cd).reshape(b, n_keys)
+    k_norm = _safe_norm((gs2h - gs1h * gs1h / cd).reshape(b, n_keys))
+    g_flat = gp.reshape(b, (hg + 2 * p) * (w + 2 * p), c)
+
+    # ---- query-side stats from the halo-extended shard
+    fh = _halo_rows(f_shard, p, axis_name)          # (B, hl+2p, W, C)
+    fs1, fs2 = _box_stats_from_halo(fh, k, hl, w)
+    q_mu = (fs1 / cd).reshape(b, hl * w)
+    q_norm = _safe_norm((fs2 - fs1 * fs1 / cd).reshape(b, hl * w))
+
+    fp = jnp.pad(fh, ((0, 0), (0, 0), (p, p), (0, 0)))  # cols
+
+    # ---- stream owned query rows in blocks (same recipe as attend_unfold)
+    r = row_chunk
+    while hl % r != 0:
+        r -= 1
+    n_chunks = hl // r
+    wp = w + 2 * p
+    hp = hg + 2 * p
+    f_rows = jnp.stack([fp[:, i * r: i * r + r + 2 * p]
+                        for i in range(n_chunks)])
+    qmu_rows = jnp.stack(
+        [q_mu.reshape(b, hl, w)[:, i * r:(i + 1) * r].reshape(b, r * w)
+         for i in range(n_chunks)])
+    qn_rows = jnp.stack(
+        [q_norm.reshape(b, hl, w)[:, i * r:(i + 1) * r].reshape(b, r * w)
+         for i in range(n_chunks)])
+
+    @jax.checkpoint
+    def body(args):
+        f_blk, qmu_b, qn_b = args
+        s = jnp.einsum("bqc,bkc->bqk", f_blk.reshape(b, -1, c), g_flat,
+                       preferred_element_type=jnp.float32,
+                       precision=_PRECISION)
+        s5 = s.reshape(b, r + 2 * p, wp, hp, wp)
+        raw = 0.0
+        for dy in range(k):
+            for dx in range(k):
+                raw = raw + s5[:, dy:dy + r, dx:dx + w, dy:dy + hg, dx:dx + w]
+        raw = raw.reshape(b, r * w, n_keys)
+        adj = raw - cd * qmu_b[..., None] * k_mu[:, None, :]
+        logits = adj / (qn_b[..., None] * k_norm[:, None, :]) / tau
+        prob = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("bqk,bkd->bqd", prob, v_full,
+                          preferred_element_type=jnp.float32,
+                          precision=_PRECISION)
+
+    out = jax.lax.map(body, (f_rows, qmu_rows, qn_rows))
+    return jnp.moveaxis(out, 0, 1).reshape(b, hl * w, v_full.shape[-1])
