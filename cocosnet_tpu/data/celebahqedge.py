@@ -74,7 +74,7 @@ class CelebAHQEdgeDataset(Pix2pixDataset):
                 opt, Image.fromarray(im_dist), params,
                 method=T.BILINEAR, normalize=False))
 
-        canny_edges = E.canny(np.array(img.convert("L"))) * inner_label
+        canny_edges = NAT.canny(np.array(img.convert("L"))) * inner_label
         edges_all = np.clip(edges + canny_edges, 0, 1).astype(np.uint8)
         tensor_edges_all = T.image_to_tensor(
             opt, Image.fromarray(edges_all * 255), params,

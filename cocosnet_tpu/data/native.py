@@ -40,6 +40,10 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.normalize_u8_to_f32.argtypes = [u8p, ctypes.c_int, f32p]
     lib.resize_nearest_u8.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
                                       u8p, ctypes.c_int, ctypes.c_int]
+    if hasattr(lib, "canny_u8"):  # older prebuilt .so may lack it
+        lib.canny_u8.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
+                                 ctypes.c_float, ctypes.c_float,
+                                 ctypes.c_float, u8p]
     _LIB = lib
     return _LIB
 
@@ -87,6 +91,23 @@ def normalize_to_f32(img_u8: np.ndarray) -> np.ndarray:
     lib.normalize_u8_to_f32(_u8p(img_u8), img_u8.size,
                             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return out
+
+
+def canny(gray: np.ndarray, sigma: float = 1.0, low: float = 0.1,
+          high: float = 0.2) -> np.ndarray:
+    """Canny edge map (bool) of a uint8 grayscale plane — native C++
+    (host_ops.cc::canny_u8) or the scipy implementation in data/edges.py.
+    Both follow skimage's defaults; see edges.py for the algorithm notes."""
+    lib = _load()
+    gray = np.ascontiguousarray(gray, dtype=np.uint8)
+    if lib is None or not hasattr(lib, "canny_u8"):
+        from cocosnet_tpu.data.edges import canny as fallback
+        return fallback(gray, sigma, low, high)
+    h, w = gray.shape
+    out = np.empty((h, w), np.uint8)
+    lib.canny_u8(_u8p(gray), h, w, ctypes.c_float(sigma),
+                 ctypes.c_float(low), ctypes.c_float(high), _u8p(out))
+    return out.astype(bool)
 
 
 def resize_nearest(src: np.ndarray, dh: int, dw: int) -> np.ndarray:

@@ -58,3 +58,32 @@ def test_resize_nearest_matches_ops_image():
     xs = np.minimum(np.arange(64) * 53 // 64, 52)
     want = src[ys][:, xs]
     np.testing.assert_array_equal(got, want)
+
+
+def test_canny_matches_python_reference():
+    """C++ canny_u8 vs the scipy implementation (data/edges.py): identical
+    double-precision op order, so the maps should agree everywhere except
+    exact threshold ties (none observed on these fixtures)."""
+    if not hasattr(N._load(), "canny_u8"):
+        pytest.skip("libcocosnet_host.so predates canny_u8; make -C native")
+    from scipy import ndimage as ndi
+
+    from cocosnet_tpu.data.edges import canny as oracle
+    for seed in range(3):
+        rs = np.random.RandomState(seed)
+        img = ndi.gaussian_filter(rs.rand(96, 128) * 255, 3)
+        img[24:72, 32:96] += 60
+        img = np.clip(img, 0, 255).astype(np.uint8)
+        got = N.canny(img)
+        want = oracle(img)
+        assert got.dtype == np.bool_ and got.shape == want.shape
+        mismatch = float((got != want).mean())
+        assert mismatch < 2e-3, mismatch
+        assert want.mean() > 0.001  # fixture actually has edges
+
+
+def test_canny_flat_image_no_edges():
+    if not hasattr(N._load(), "canny_u8"):
+        pytest.skip("libcocosnet_host.so predates canny_u8")
+    flat = np.full((32, 32), 7, np.uint8)
+    assert not N.canny(flat).any()

@@ -54,7 +54,7 @@ def build_one(dataroot: str, idx: int, load_size: int) -> np.ndarray:
             edge = NAT.mask_edges(edge, part_label)
         dist_channels.append(NAT.distance_transform_map(edge))
 
-    canny_edges = E.canny(np.array(img.convert("L"))) * inner_label
+    canny_edges = NAT.canny(np.array(img.convert("L"))) * inner_label
     edges_all = np.clip(edges + canny_edges, 0, 1).astype(np.uint8)
     channels = [edges_all * 255] + dist_channels + [np.clip(edges, 0, 1) * 255]
     return np.stack(channels, axis=-1)  # (H, W, 15) uint8
