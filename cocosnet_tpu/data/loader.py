@@ -66,8 +66,10 @@ class DataLoader:
 
     def __len__(self) -> int:
         n = len(self.dataset)
-        if self.drop_last or self.process_count > 1:
+        if self.drop_last:
             return n // self.batch_size
+        # eval covers every sample even multi-host (the ragged tail batch is
+        # padded with duplicates so it splits across processes)
         return (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -80,7 +82,19 @@ class DataLoader:
                    for i in range(0, len(indices), self.batch_size)]
         if self.process_count > 1:
             start, size = self._shard
-            # drop the ragged tail batch: it can't split evenly across hosts
+            ragged = [b for b in batches if len(b) != self.batch_size]
+            if ragged and not self.drop_last:
+                # pad the eval tail batch (wrap-around duplicates) so every
+                # sample is covered; duplicates re-save the same output path,
+                # so per-image results and metrics are unaffected
+                tail = ragged[0]
+                pad = self.batch_size - len(tail)
+                print(f"DataLoader: padding final eval batch with {pad} "
+                      f"duplicate item(s) to split across "
+                      f"{self.process_count} hosts")
+                tail.extend(indices[:pad] if len(indices) >= pad
+                            else tail * pad)
+                tail[:] = tail[: self.batch_size]
             batches = [b[start: start + size] for b in batches
                        if len(b) == self.batch_size]
 
@@ -114,12 +128,22 @@ class DataLoader:
 def _is_remote_runtime() -> bool:
     """True when jax runs through the 'axon' remote-TPU tunnel, where
     background-thread device_put serializes pathologically (~100x step-time
-    blowup measured in round 1)."""
+    blowup measured in round 1).
+
+    Fails SAFE: if the detection probe breaks (it touches a private jax
+    module that may move across versions), report remote — the cost of a
+    wrong True is losing H2D/compute overlap; the cost of a wrong False is
+    the 100x pathology the guard exists to prevent."""
     try:
         from jax._src import xla_bridge as xb
         return "axon" in xb.backends()
     except Exception:
-        return False
+        try:
+            import jax
+            return any("axon" in str(d.platform).lower()
+                       for d in jax.devices())
+        except Exception:
+            return True  # can't tell -> assume remote (calling-thread puts)
 
 
 def prefetch_to_device(iterator, mesh=None, size: int = 2,
@@ -129,12 +153,22 @@ def prefetch_to_device(iterator, mesh=None, size: int = 2,
 
     threaded=None auto-selects: background double-buffered transfers on
     local backends (host decode + H2D overlap device compute), calling-thread
-    transfers under the remote axon runtime (see _is_remote_runtime)."""
+    transfers under the remote axon runtime (see _is_remote_runtime).
+    COCOSNET_PREFETCH_THREADED=0/1 overrides the auto-detection."""
+    import os
+
     import jax
     from cocosnet_tpu.mesh import shard_batch
 
-    if threaded is None:
+    env = os.environ.get("COCOSNET_PREFETCH_THREADED")
+    if env is not None:
+        threaded = env not in ("0", "false", "False")
+        print(f"prefetch_to_device: threaded={threaded} "
+              "(COCOSNET_PREFETCH_THREADED override)")
+    elif threaded is None:
         threaded = not _is_remote_runtime()
+        print(f"prefetch_to_device: threaded={threaded} "
+              f"({'local' if threaded else 'remote'} runtime auto-detected)")
 
     def transfer(batch):
         arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}

@@ -158,10 +158,17 @@ class CorrespondenceNet(nn.Module):
                 # the reference draws fresh torch.randn on every forward,
                 # train AND eval (correspondence.py:262-264); callers thread a
                 # "noise" rng through apply. The PRNGKey(0) fallback only
-                # covers rng-less eval calls (deterministic by construction,
-                # e.g. golden tests).
-                rng = (self.make_rng("noise") if self.has_rng("noise")
-                       else jax.random.PRNGKey(0))
+                # covers rng-less EVAL calls (deterministic by construction,
+                # e.g. golden tests); a training caller that forgot the rng
+                # would silently reuse the same noise every step, so error.
+                if self.has_rng("noise"):
+                    rng = self.make_rng("noise")
+                elif train:
+                    raise ValueError(
+                        "noise_for_mask training requires rngs={'noise': ...}"
+                        " in apply() — refusing the fixed-key fallback")
+                else:
+                    rng = jax.random.PRNGKey(0)
                 noise = jax.random.normal(rng, ref_seg_small.shape,
                                           ref_seg_small.dtype) * 0.01
                 ref_features = layer(jnp.concatenate([feat_img, noise], -1))

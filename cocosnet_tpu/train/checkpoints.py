@@ -33,15 +33,24 @@ def save_state(opt, state, label: str) -> None:
     directory BEFORE the new checkpoint lands, leaving a seconds-long window
     where a concurrent reader (test.py / serve.py against a live training
     run) sees no checkpoint at all. Write to a side path and swap instead,
-    so `state_<label>` always points at a complete checkpoint."""
+    so `state_<label>` always points at a complete checkpoint.
+
+    Multi-host: filesystem mutations (side-path cleanup + the rename swap)
+    happen only on process 0 — the checkpoint directory is shared, and
+    concurrent rmtree/rename from every host race each other. The orbax save
+    itself is collective (every process contributes its array shards). A
+    crash between the two renames leaves only `state_<label>.old`, which the
+    loaders below fall back to."""
     import shutil
 
     import orbax.checkpoint as ocp
     path = _ckpt_dir(opt, label)
     new_path = path + ".new"
     old_path = path + ".old"
-    shutil.rmtree(new_path, ignore_errors=True)
-    shutil.rmtree(old_path, ignore_errors=True)
+    if jax.process_index() == 0:
+        shutil.rmtree(new_path, ignore_errors=True)
+        shutil.rmtree(old_path, ignore_errors=True)
+    _barrier()
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(new_path, state, force=True)
     ckptr.wait_until_finished()
@@ -50,11 +59,34 @@ def save_state(opt, state, label: str) -> None:
             os.rename(path, old_path)
         os.rename(new_path, path)   # atomic on POSIX
         shutil.rmtree(old_path, ignore_errors=True)
+    _barrier()
+
+
+def _barrier() -> None:
+    """Cross-process sync so no host reads/writes the checkpoint paths while
+    process 0 is still mutating them. No-op single-process."""
+    if jax.process_count() > 1:
+        import jax.experimental.multihost_utils as mhu
+        mhu.sync_global_devices("cocosnet_ckpt_swap")
+
+
+def _resolve_ckpt_path(path: str) -> str:
+    """Prefer `state_<label>`; fall back to `state_<label>.old` (left behind
+    if a crash hit between save_state's two renames) so an interrupted
+    overwrite never strands an unloadable run."""
+    if os.path.exists(path):
+        return path
+    old_path = path + ".old"
+    if os.path.exists(old_path):
+        print(f"WARNING: {path} missing; falling back to {old_path} "
+              "(interrupted checkpoint swap)")
+        return old_path
+    return path  # let orbax raise its usual not-found error
 
 
 def load_state(opt, like_state, label: str):
     import orbax.checkpoint as ocp
-    path = _ckpt_dir(opt, label)
+    path = _resolve_ckpt_path(_ckpt_dir(opt, label))
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(path, like_state)
     return restored
@@ -65,7 +97,7 @@ def load_raw(opt, label: str):
     numpy arrays). Lets test.py pull gen/corr out of a full TrainState saved
     by train.py without constructing discriminator/VGG/optimizer templates."""
     import orbax.checkpoint as ocp
-    path = _ckpt_dir(opt, label)
+    path = _resolve_ckpt_path(_ckpt_dir(opt, label))
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(path)
 

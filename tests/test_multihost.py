@@ -61,15 +61,24 @@ def test_host_shards_reassemble_global_batches():
             assert per_host[pi][step].shape[0] == 2  # local batch
 
 
-def test_multi_host_eval_drops_ragged_tail():
-    """Eval keeps the tail single-host, but multi-host must drop it (it can't
-    split evenly); __len__ agrees with what iteration yields."""
+def test_multi_host_eval_pads_ragged_tail():
+    """Eval keeps the tail single-host; multi-host pads it with duplicate
+    items so every sample is still evaluated (a dropped tail would silently
+    exclude up to batchSize-1 images from metrics); __len__ agrees with what
+    iteration yields."""
     ds = _ToyDataset(10)
     opt = _opt(batch=4, train=False, serial=True)
     single = DataLoader(ds, opt, 0, 1)
     assert len(single) == 3 and len(list(single)) == 3  # 4+4+2
-    multi = DataLoader(ds, opt, 0, 2)
-    assert len(multi) == 2 and len(list(multi)) == 2
+    hosts = [list(DataLoader(ds, opt, pi, 2)) for pi in range(2)]
+    assert len(DataLoader(ds, opt, 0, 2)) == 3
+    assert all(len(h) == 3 for h in hosts)
+    covered = sorted(
+        int(v) for h in hosts for b in h for v in b["idx"][:, 0])
+    # all 10 samples present; the 2 pad slots duplicate items 0 and 1
+    assert covered == [0, 0, 1, 1] + list(range(2, 10))
+    for h in hosts:
+        assert all(b["idx"].shape[0] == 2 for b in h)
 
 
 def test_shard_batch_single_process_equals_plain_put():
