@@ -63,14 +63,14 @@ class SPADEResnetBlock(nn.Module):
 
         dx = SPADE(self.spade_config, self.fin, self.spade_ic,
                    pono=self.pono, name="norm_0")(x, seg, train)
-        dx = reflect_pad_2d(leaky_relu(dx), self.dilation)
         dx = Conv2d(fmiddle, 3, padding=0, dilation=self.dilation,
-                    weight_norm=wn, name="conv_0")(dx)
+                    weight_norm=wn, reflect_pad=True,
+                    name="conv_0")(leaky_relu(dx))
         dx = SPADE(self.spade_config, fmiddle, self.spade_ic,
                    pono=self.pono, name="norm_1")(dx, seg, train)
-        dx = reflect_pad_2d(leaky_relu(dx), self.dilation)
         dx = Conv2d(self.fout, 3, padding=0, dilation=self.dilation,
-                    weight_norm=wn, name="conv_1")(dx)
+                    weight_norm=wn, reflect_pad=True,
+                    name="conv_1")(leaky_relu(dx))
         if self.use_se:
             dx = SELayer(self.fout, name="se_layar")(dx)
         return x_s + dx
@@ -130,13 +130,14 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        assert self.padding == (self.kernel_size - 1) // 2
         prelu = PReLU(name="prelu")
-        out = reflect_pad_2d(x, self.padding)
-        out = Conv2d(self.channels, self.kernel_size, padding=0, name="conv1")(out)
+        out = Conv2d(self.channels, self.kernel_size, padding=0,
+                     reflect_pad=True, name="conv1")(x)
         out = instance_norm(out)
         out = prelu(out)
-        out = reflect_pad_2d(out, self.padding)
-        out = Conv2d(self.channels, self.kernel_size, padding=0, name="conv2")(out)
+        out = Conv2d(self.channels, self.kernel_size, padding=0,
+                     reflect_pad=True, name="conv2")(out)
         out = instance_norm(out)
         out = out + x
         return prelu(out)

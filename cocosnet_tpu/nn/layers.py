@@ -80,6 +80,12 @@ def conv2d(x: Array, kernel: Array, bias: Optional[Array] = None, *,
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         kernel = kernel.astype(compute_dtype)
+    from cocosnet_tpu.ops.pallas_conv import conv3x3_fused, conv3x3_supported
+    if conv3x3_supported(x.shape, kernel.shape, stride=stride,
+                         dilation=dilation, padding=padding):
+        # fused implicit-GEMM kernel (ops/pallas_conv.py): same math, f32
+        # accumulation; bias adds pre-rounding (one fewer bf16 round)
+        return conv3x3_fused(x, kernel, bias)
     y = jax.lax.conv_general_dilated(
         x, kernel,
         window_strides=(stride, stride),
@@ -129,6 +135,10 @@ class Conv2d(nn.Module):
     weight_norm: None | 'spectral' | 'equal_lr'  (architecture.py:40-51)
     use_bias=False mirrors the reference deleting conv bias when a
     parameter-free norm follows (normalization.py:41-45).
+    reflect_pad=True replaces the reference's ReflectionPad2d->Conv pair
+    (architecture.py:43-47, correspondence.py:15-26): the module pads the
+    ring itself, which lets the fused TPU kernel realize the reflection
+    in-VMEM instead of materializing a padded copy.
     """
     features: int
     kernel_size: int = 3
@@ -139,6 +149,7 @@ class Conv2d(nn.Module):
     weight_norm: Optional[str] = None
     init_gain: float = 0.02
     compute_dtype: Optional[jnp.dtype] = None
+    reflect_pad: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -156,6 +167,21 @@ class Conv2d(nn.Module):
             # (normalization.py:246-249)
             fan_in = cin * k * k
             kernel = kernel * jnp.sqrt(2.0 / fan_in).astype(kernel.dtype)
+
+        if self.reflect_pad:
+            assert self.padding == 0 and self.stride == 1
+            pw = self.dilation * (k - 1) // 2
+            cd = self.compute_dtype or _COMPUTE_DTYPE
+            from cocosnet_tpu.ops.pallas_conv import (conv3x3_fused,
+                                                      conv3x3_supported)
+            if conv3x3_supported(x.shape, kernel.shape, stride=1,
+                                 dilation=self.dilation, padding=1):
+                if cd is not None:
+                    x, kernel = x.astype(cd), kernel.astype(cd)
+                return conv3x3_fused(x, kernel, bias, reflect=True)
+            return conv2d(reflect_pad_2d(x, pw), kernel, bias,
+                          stride=1, padding=0, dilation=self.dilation,
+                          compute_dtype=self.compute_dtype)
 
         return conv2d(x, kernel, bias, stride=self.stride, padding=self.padding,
                       dilation=self.dilation, compute_dtype=self.compute_dtype)

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from cocosnet_tpu.nn.layers import Conv2d, reflect_pad_2d
+from cocosnet_tpu.nn.layers import Conv2d
 from cocosnet_tpu.ops.image import resize_nearest
 
 Array = jax.Array
@@ -128,14 +128,14 @@ class SPADE(nn.Module):
             raise ValueError(f"unrecognized SPADE param-free norm {norm_type}")
 
         nhidden = 128
-        pw = ks // 2
         seg = resize_nearest(segmap, x.shape[1], x.shape[2])
-        actv = Conv2d(nhidden, ks, padding=0, name="mlp_shared")(
-            reflect_pad_2d(seg, pw))
+        actv = Conv2d(nhidden, ks, padding=0, reflect_pad=True,
+                      name="mlp_shared")(seg)
         actv = jax.nn.relu(actv)
-        actv = reflect_pad_2d(actv, pw)
-        gamma = Conv2d(self.norm_nc, ks, padding=0, name="mlp_gamma")(actv)
-        beta = Conv2d(self.norm_nc, ks, padding=0, name="mlp_beta")(actv)
+        gamma = Conv2d(self.norm_nc, ks, padding=0, reflect_pad=True,
+                       name="mlp_gamma")(actv)
+        beta = Conv2d(self.norm_nc, ks, padding=0, reflect_pad=True,
+                      name="mlp_beta")(actv)
         out = normalized.astype(gamma.dtype) * (1 + gamma) + beta
         return out
 

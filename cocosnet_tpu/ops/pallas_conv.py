@@ -1,0 +1,303 @@
+"""Fused 3x3 stride-1 convolution kernel (TPU Pallas, implicit GEMM).
+
+Why: the flagship inference profile (PROFILE.md) shows 80% of remaining time
+in reference-parity conv stacks (domain adaptors + SPADE generator) running
+at 30-40% MFU under XLA's conv emitter — the 64-512 input channels underfill
+its tiling and every activation makes extra HBM round trips through the
+space-to-batch rewrite. Nearly all of those FLOPs are 3x3 stride-1 convs
+(NormConv layers 1/3/5, SPADE conv_0/conv_1/mlp convs, the correspondence
+residual stack — models/networks/generator.py:101-118, architecture.py:40-51,
+correspondence.py:13-36). This kernel computes exactly that case as an
+implicit GEMM tuned to the MXU:
+
+  - Input rows stream HBM->VMEM through a manually double-buffered DMA of
+    overlapping (R+2)-row slabs (grid = row blocks), so each input row is
+    fetched ~(1 + 2/R)x; no 9x im2col / 3x row-stack tensor ever exists.
+  - The 3 dy taps fold into the channel dim in VMEM (concat of three
+    row-shifted views -> 3C lanes), turning the conv into 3 MXU dots of
+    shape (R*W, 3C) x (3C, Cot) — one per dx tap.
+  - The dx taps never need a width halo: the shifted operand is rebuilt by
+    slice+concat with a mode-specific edge column (zeros for zero padding,
+    the reflected column for ReflectionPad2d), so W stays lane/sublane
+    aligned and no padded copy of the width is materialized.
+  - Wide outputs tile over a third grid dimension (Cout tiles) so the
+    packed weights never exceed the VMEM budget; the row slab is fetched
+    once per row block and reused across Cout tiles via a persistent
+    scratch.
+  - Epilogue fused into the same pass: bias add + optional LeakyReLU.
+
+Channel counts are zero-padded up to the 128-lane tile (and the kernel
+packed to match) — padded lanes multiply zeros and cannot affect the
+result.
+
+`conv3x3_fused` carries a custom VJP whose backward runs the standard XLA
+transposed convs (dx: 180deg-rotated kernel through the pad adjoint; dw:
+patch correlation) — the same math lax.conv's own AD produces — so the
+kernel is usable inside the training step from day one; a Pallas backward
+can slot in later without touching callers.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_BUDGET = 12 * 1024 * 1024   # of the 16MB scoped VMEM limit
+
+
+def _is_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pick_tiles(ho: int, wo: int, cp: int, cop: int, itemsize: int):
+    """(rows per block, cout tile): target >=1024 GEMM rows; shrink the
+    cout tile first (weights dominate for wide layers), then rows."""
+    def vmem(rr, ct):
+        return (2 * (rr + 2) * wo * cp * itemsize        # DMA slabs
+                + 2 * rr * wo * 3 * cp * itemsize        # x3 scratch + tap
+                + rr * wo * ct * 4                       # f32 acc
+                + 2 * 9 * cp * ct * itemsize             # k3 tile (piped)
+                + 2 * rr * wo * ct * itemsize)           # out (2 buffers)
+
+    m = cop // 128
+    cot_divs = [128 * d for d in range(m, 0, -1) if m % d == 0]
+    cot = cot_divs[0]
+    for ct in cot_divs:
+        if 2 * 9 * cp * ct * itemsize <= _BUDGET // 2:
+            cot = ct
+            break
+
+    r = min(max(1, 1024 // wo), ho)
+    while ho % r != 0:
+        r -= 1
+    while r > 1 and vmem(r, cot) > _BUDGET:
+        r -= 1
+        while r > 1 and ho % r != 0:
+            r -= 1
+    while vmem(r, cot) > _BUDGET and cot > 128:
+        cot = [c for c in cot_divs if c < cot][0]
+    return max(r, 1), cot
+
+
+def _conv_kernel(r, wo, cp, cot, nh, leaky, reflect_w,
+                 xq_hbm, k3_ref, b_ref, out_ref, slab, x3_s, sem):
+    ib = pl.program_id(0)
+    ih = pl.program_id(1)
+    j = pl.program_id(2)
+    nc = pl.num_programs(2)
+    step = ib * nh + ih
+    nsteps = pl.num_programs(0) * nh
+
+    def fetch(s):
+        b = s // nh
+        h = s % nh
+        return pltpu.make_async_copy(
+            xq_hbm.at[b, pl.ds(h * r, r + 2)],
+            slab.at[s % 2],
+            sem.at[s % 2],
+        )
+
+    @pl.when(jnp.logical_and(step == 0, j == 0))
+    def _():
+        fetch(0).start()
+
+    @pl.when(j == 0)
+    def _():
+        @pl.when(step + 1 < nsteps)
+        def _():
+            fetch(step + 1).start()
+        fetch(step).wait()
+        x = slab[step % 2]                   # (R+2, W, Cp)
+        x3_s[:] = jnp.concatenate([x[0:r], x[1:r + 1], x[2:r + 2]], axis=-1)
+
+    x3 = x3_s[:]
+
+    def tap(dx):
+        """dx-shifted operand; the edge column realizes the pad mode."""
+        if dx == 1:
+            return x3
+        if reflect_w:
+            left = x3[:, 1:2]
+            right = x3[:, wo - 2:wo - 1]
+        else:
+            left = jnp.zeros_like(x3[:, :1])
+            right = jnp.zeros_like(x3[:, :1])
+        if dx == 0:
+            return jnp.concatenate([left, x3[:, :wo - 1]], axis=1)
+        return jnp.concatenate([x3[:, 1:], right], axis=1)
+
+    acc = jnp.zeros((r * wo, cot), jnp.float32)
+    for dx in range(3):   # sequential: one shifted-tap temporary at a time
+        acc = acc + jax.lax.dot_general(
+            tap(dx).reshape(r * wo, 3 * cp), k3_ref[dx],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    acc = acc + b_ref[:].astype(jnp.float32)
+    if leaky is not None:
+        acc = jnp.where(acc >= 0, acc, leaky * acc)
+    out_ref[0] = acc.reshape(r, wo, cot).astype(out_ref.dtype)
+
+
+def _conv3x3_pallas(xq: Array, k3: Array, bias: Array, leaky,
+                    reflect_w: bool) -> Array:
+    """xq: (B, Ho+2, W, Cp) H-padded input, Cp%128==0; k3: (3, 3Cp, Cop);
+    bias: (1, Cop). Returns (B, Ho, W, Cop) in xq's dtype."""
+    b, hq, wo, cp = xq.shape
+    ho = hq - 2
+    cop = k3.shape[-1]
+    r, cot = _pick_tiles(ho, wo, cp, cop, jnp.dtype(xq.dtype).itemsize)
+    nh = ho // r
+    nc = cop // cot
+
+    return pl.pallas_call(
+        functools.partial(_conv_kernel, r, wo, cp, cot, nh, leaky,
+                          reflect_w),
+        grid=(b, nh, nc),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),           # xq stays in HBM
+            pl.BlockSpec((3, 3 * cp, cot), lambda ib, ih, j: (0, 0, j)),
+            pl.BlockSpec((1, cot), lambda ib, ih, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, r, wo, cot),
+                               lambda ib, ih, j: (ib, ih, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((b, ho, wo, cop), xq.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, r + 2, wo, cp), xq.dtype),
+            pltpu.VMEM((r, wo, 3 * cp), xq.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=not _is_tpu(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * ho * wo * 9 * cp * cop,
+            bytes_accessed=2 * b * (hq * wo * cp + ho * wo * cop),
+            transcendentals=0,
+        ),
+    )(xq, k3, bias)
+
+
+def _pack_k3(kernel: Array, cp: int, cop: int) -> Array:
+    """HWIO (3, 3, C, Cout) -> (3:dx, 3Cp:(dy,c), Cop), matching the
+    in-VMEM channel concat order [x(h+0) | x(h+1) | x(h+2)]."""
+    c, cout = kernel.shape[2], kernel.shape[3]
+    k = jnp.pad(kernel, ((0, 0), (0, 0), (0, cp - c), (0, cop - cout)))
+    k = jnp.transpose(k, (1, 0, 2, 3))           # (dx, dy, Cp, Cop)
+    return k.reshape(3, 3 * cp, cop)
+
+
+def _pad_input(x: Array, cp: int, reflect: bool) -> Array:
+    """H halo (+1 row top/bottom, by pad mode) + zero channel pad to Cp."""
+    mode = "reflect" if reflect else "constant"
+    xq = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)), mode=mode)
+    c = x.shape[-1]
+    if cp != c:
+        xq = jnp.pad(xq, ((0, 0), (0, 0), (0, 0), (0, cp - c)))
+    return xq
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _conv3x3(x: Array, kernel: Array, bias: Array, reflect: bool, leaky):
+    cp = _round_up(x.shape[-1], 128)
+    cop = _round_up(kernel.shape[-1], 128)
+    xq = _pad_input(x, cp, reflect)
+    k3 = _pack_k3(kernel, cp, cop).astype(x.dtype)
+    b2 = jnp.pad(bias, (0, cop - bias.shape[0])).reshape(1, cop)
+    out = _conv3x3_pallas(xq, k3, b2.astype(jnp.float32), leaky, reflect)
+    if cop != kernel.shape[-1]:
+        out = out[..., : kernel.shape[-1]]
+    return out
+
+
+def _fwd(x, kernel, bias, reflect, leaky):
+    out = _conv3x3(x, kernel, bias, reflect, leaky)
+    return out, (x, kernel, out)
+
+
+def _full_pad(x: Array, reflect: bool) -> Array:
+    mode = "reflect" if reflect else "constant"
+    return jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=mode)
+
+
+def _bwd(reflect, leaky, res, g):
+    """XLA transposed-conv backward — the same math lax.conv's AD emits.
+    The LeakyReLU epilogue inverts from the sign of the OUTPUT (slope>0
+    preserves sign), so no pre-activation residual is stored."""
+    x, kernel, out = res
+    g = g.astype(jnp.float32)
+    if leaky is not None:
+        g = jnp.where(out >= 0, g, leaky * g)
+    db = jnp.sum(g, axis=(0, 1, 2)).astype(jnp.float32)
+    gk = g.astype(x.dtype)
+    # d(padded x): VALID conv of re-padded g with 180deg-rotated, IO-swapped
+    krot = jnp.flip(kernel, (0, 1)).swapaxes(2, 3).astype(x.dtype)
+    dxf = jax.lax.conv_general_dilated(
+        jnp.pad(gk, ((0, 0), (2, 2), (2, 2), (0, 0))), krot,
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    # pull back through the pad (reflect adjoint = edge scatter-add)
+    _, pad_vjp = jax.vjp(lambda t: _full_pad(t, reflect), x)
+    dx = pad_vjp(dxf.astype(x.dtype))[0]
+    # d kernel: correlate padded x with g, batch as the contraction dim
+    xf = _full_pad(x, reflect)
+    dw = jax.lax.conv_general_dilated(
+        jnp.transpose(xf, (3, 1, 2, 0)), jnp.transpose(gk, (1, 2, 0, 3)),
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    dw = jnp.transpose(dw, (1, 2, 0, 3)).astype(jnp.float32)
+    return dx, dw, db
+
+
+_conv3x3.defvjp(_fwd, _bwd)
+
+
+def conv3x3_supported(x_shape, kernel_shape, *, stride: int,
+                      dilation: int, padding: int) -> bool:
+    """Gate for the fused path: TPU, 3x3 stride-1 dilation-1 with symmetric
+    padding 1 (zero or reflect ring on the UNpadded input). Width must be
+    lane-tileable and the shape must be one where the measured A/B
+    (PERF.md conv table) beats XLA's conv emitter."""
+    import os
+    if os.environ.get("COCOSNET_FUSED_CONV", "1") in ("0", "false"):
+        return False
+    if not _is_tpu():
+        return False
+    if len(x_shape) != 4 or tuple(kernel_shape[:2]) != (3, 3):
+        return False
+    if stride != 1 or dilation != 1 or padding != 1:
+        return False
+    n, h, w, c = x_shape
+    cout = kernel_shape[3]
+    if w % 16 != 0 or w < 32:     # sublane tile for the slab/taps
+        return False
+    if h < 8 or h * w < 2048:     # too few GEMM rows to fill the MXU
+        return False
+    if c < 64 or cout < 64:
+        return False
+    # measured loss zone (e.g. the 407ch residual stack, 0.92x): large
+    # channel counts that pad heavily on BOTH sides of the GEMM — XLA's
+    # emitter handles the odd channel count without the 128-lane rounding
+    pad_ratio = (_round_up(c, 128) / c) * (_round_up(cout, 128) / cout)
+    if pad_ratio > 1.5 and min(c, cout) >= 256:
+        return False
+    return True
+
+
+def conv3x3_fused(x: Array, kernel: Array, bias: Array | None, *,
+                  reflect: bool = False, leaky: float | None = None) -> Array:
+    """Fused 3x3 stride-1 'SAME' conv on NHWC input (HWIO kernel) with the
+    padding ring supplied by `reflect` (False = zeros, True =
+    ReflectionPad2d) and an optional fused LeakyReLU. Output dtype follows
+    x; accumulation f32 — the same contract as nn/layers.conv2d."""
+    if bias is None:
+        bias = jnp.zeros((kernel.shape[-1],), jnp.float32)
+    return _conv3x3(x, kernel, bias.astype(jnp.float32), reflect, leaky)

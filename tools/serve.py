@@ -3,10 +3,22 @@
 translation requests, runs them through the SAME label preprocessing as the
 dataset pipelines, and writes results.
 
-Deployment-shaped: the jitted program stays resident (weights on device),
-requests are packed into fixed-size batches (padding the tail) so one
-compiled executable serves everything, and per-request latency (p50/p99) is
-reported alongside throughput.
+Deployment-shaped, continuous batching: the jitted program stays resident
+(weights on device) and four pipeline stages overlap —
+
+  watcher            polls --watch_dir for new request ids
+  preprocess pool    --nThreads host workers run the dataset label
+                     pipelines (PIL/cv2/native DT) concurrently
+  dispatcher         packs whatever is ready into a fixed-size batch the
+                     moment either the batch fills or --batch_window_ms
+                     expires (tail slots padded), then dispatches; JAX's
+                     async dispatch keeps up to 2 batches in flight
+  writer             blocks on device results, writes PNGs, records
+                     per-request END-TO-END latency (discovery -> file)
+
+so host decode, device compute, and result writing all overlap. One
+compiled executable serves everything (static shapes); per-request p50/p99
+latency is reported alongside throughput.
 
 Usage:
   python tools/serve.py --name ade20k --dataset_mode ade20k \
@@ -90,6 +102,9 @@ def main():
     extra.add_argument("--poll_s", type=float, default=0.5)
     extra.add_argument("--once", action="store_true",
                        help="serve pending requests then exit (for tests)")
+    extra.add_argument("--batch_window_ms", type=float, default=25.0,
+                       help="max time the dispatcher waits to fill a batch "
+                            "once at least one request is ready")
     extra_ns, rest = extra.parse_known_args(argv)
     from cocosnet_tpu.config import parse_options
     opt = parse_options(rest, is_train=False)
@@ -162,54 +177,132 @@ def main():
                 f"expected {label_ch}ch for {opt.dataset_mode}")
         return {"label": label, "ref": ref, "label_ref": ref_label}
 
-    done = set()
+    import queue
+    import threading
+
+    seen = set()                       # touched only by the watcher side
+    pre_q: "queue.Queue" = queue.Queue()
+    ready_q: "queue.Queue" = queue.Queue(maxsize=max(4 * b, 8))
+    write_q: "queue.Queue" = queue.Queue(maxsize=2)  # <=2 batches in flight
+    stop = threading.Event()
+    stats_lock = threading.Lock()
     latencies = []
-    served = 0
-    while True:
-        now = time.perf_counter()
-        reqs = sorted(
+    served = [0]
+    inflight = [0]                     # discovered, not yet written/errored
+    inflight_lock = threading.Lock()
+
+    def scan_once():
+        new = sorted(
             f[: -len(".ref.jpg")] for f in os.listdir(extra_ns.watch_dir)
-            if f.endswith(".ref.jpg") and f[: -len(".ref.jpg")] not in done)
-        if not reqs:
-            if extra_ns.once:
-                break
-            time.sleep(extra_ns.poll_s)
-            continue
-        for i in range(0, len(reqs), b):
-            chunk = reqs[i: i + b]
-            batch = {k: v.copy() for k, v in zero_batch.items()}
-            ok = []
-            for j, r in enumerate(chunk):
-                try:
-                    item = load_request(r)
-                except (ValueError, OSError) as e:
-                    with open(os.path.join(extra_ns.out_dir,
-                                           r + ".error.txt"), "w") as f:
-                        f.write(str(e) + "\n")
-                    done.add(r)
-                    continue
-                for k in ("label", "ref", "label_ref"):
-                    batch[k][j] = item[k]
-                ok.append((j, r))
-            if not ok:
+            if f.endswith(".ref.jpg") and f[: -len(".ref.jpg")] not in seen)
+        t = time.perf_counter()
+        for r in new:
+            seen.add(r)
+            with inflight_lock:
+                inflight[0] += 1
+            pre_q.put((r, t))
+        return len(new)
+
+    def fail(r, msg):
+        with open(os.path.join(extra_ns.out_dir, r + ".error.txt"),
+                  "w") as f:
+            f.write(msg + "\n")
+        with inflight_lock:
+            inflight[0] -= 1
+
+    def preprocessor():
+        while not stop.is_set():
+            try:
+                r, t_disc = pre_q.get(timeout=0.2)
+            except queue.Empty:
                 continue
-            out = np.asarray(step(variables, batch)["fake_image"])
-            for j, r in ok:
+            try:
+                item = load_request(r)
+            except (ValueError, OSError) as e:
+                fail(r, str(e))
+                continue
+            ready_q.put((r, item, t_disc))
+
+    def writer():
+        while True:
+            got = write_q.get()
+            if got is None:
+                return
+            out_dev, metas = got
+            out = np.asarray(out_dev)          # sync point for this batch
+            t_done = time.perf_counter()
+            lats = []
+            for j, r, t_disc in metas:
                 img = np.clip((out[j] + 1) * 127.5 + 0.5, 0, 255) \
                     .astype(np.uint8)
                 Image.fromarray(img).save(
                     os.path.join(extra_ns.out_dir, r + ".png"))
-                done.add(r)
-            dt = time.perf_counter() - now
-            latencies.extend([dt * 1000.0] * len(ok))
-            served += len(ok)
-            now = time.perf_counter()
-            p50 = float(np.percentile(latencies, 50))
-            p99 = float(np.percentile(latencies, 99))
-            print(f"served {len(ok)} requests ({served} total); "
-                  f"latency p50 {p50:.1f} ms p99 {p99:.1f} ms", flush=True)
-        if extra_ns.once:
-            break
+                lats.append((t_done - t_disc) * 1000.0)
+                with inflight_lock:
+                    inflight[0] -= 1
+            with stats_lock:
+                latencies.extend(lats)
+                served[0] += len(lats)
+                p50 = float(np.percentile(latencies, 50))
+                p99 = float(np.percentile(latencies, 99))
+                print(f"served {len(lats)} requests ({served[0]} total); "
+                      f"e2e latency p50 {p50:.1f} ms p99 {p99:.1f} ms",
+                      flush=True)
+
+    workers = [threading.Thread(target=preprocessor, daemon=True)
+               for _ in range(max(1, opt.nThreads))]
+    for w in workers:
+        w.start()
+    wr = threading.Thread(target=writer, daemon=True)
+    wr.start()
+
+    window = extra_ns.batch_window_ms / 1000.0
+    try:
+        last_scan = 0.0
+        while True:
+            if time.perf_counter() - last_scan >= extra_ns.poll_s \
+                    or last_scan == 0.0:
+                scan_once()
+                last_scan = time.perf_counter()
+            if extra_ns.once:
+                with inflight_lock:
+                    if inflight[0] == 0 and pre_q.empty() \
+                            and ready_q.empty():
+                        break
+            # continuous batching: block for the first ready item, then
+            # top up until the batch fills or the window expires
+            try:
+                first = ready_q.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            metas = [first]
+            deadline = time.perf_counter() + window
+            while len(metas) < b:
+                tleft = deadline - time.perf_counter()
+                if tleft <= 0 and not extra_ns.once:
+                    break
+                try:
+                    metas.append(ready_q.get(
+                        timeout=max(tleft, 0.01) if not extra_ns.once
+                        else 0.05))
+                except queue.Empty:
+                    if extra_ns.once:
+                        break
+                    continue
+            batch = {k: v.copy() for k, v in zero_batch.items()}
+            slot_meta = []
+            for j, (r, item, t_disc) in enumerate(metas):
+                for k in ("label", "ref", "label_ref"):
+                    batch[k][j] = item[k]
+                slot_meta.append((j, r, t_disc))
+            # async dispatch; the writer thread blocks on the result, so
+            # the next batch's preprocessing and dispatch overlap compute
+            out_dev = step(variables, batch)["fake_image"]
+            write_q.put((out_dev, slot_meta))
+    finally:
+        stop.set()
+        write_q.put(None)
+        wr.join(timeout=30)
 
 
 if __name__ == "__main__":
