@@ -154,3 +154,79 @@ def attend_unfold_sp(f_shard: Array, g_shard: Array, v_shard: Array,
 
     out = jax.lax.map(body, (f_rows, qmu_rows, qn_rows))
     return jnp.moveaxis(out, 0, 1).reshape(b, hl * w, v_full.shape[-1])
+
+
+def shift9_sp_supported(hl: int, w: int, c: int) -> bool:
+    """Per-shard lowering constraints for attend_shift9_sp: same lane/
+    block rules as the single-device kernel, applied to the SHARD's row
+    count (whole-row query blocks must tile hl)."""
+    from cocosnet_tpu.ops.pallas_shift9 import _block_rows, _block_rows_bwd
+
+    def tiles(r):  # a shard smaller than one block is a single block
+        return hl % r == 0 if hl >= r else True
+
+    return ((3 * c) % 128 == 0 and w % 64 == 0
+            and tiles(_block_rows(w)) and tiles(_block_rows_bwd(w)))
+
+
+def attend_shift9_sp(f_shard: Array, g_shard: Array, v_shard: Array,
+                     tau: float, axis_name: str,
+                     pono_c: bool = True) -> Array:
+    """SP form of ops/pallas_shift9.attend_shift9: the fused flash kernel
+    runs on each device's query-row shard against the all-gathered keys.
+
+    Same contract as attend_unfold_sp (call inside shard_map; concatenating
+    shard outputs over `axis_name` reproduces the single-device result),
+    but the per-device compute is the Pallas kernel instead of the XLA
+    streaming body — the production TPU configuration for multi-chip 512px
+    inference/training where the N^2 logits dominate.
+
+    Collective structure and its backward (all handled by jax AD outside
+    the kernel's custom VJP):
+      all_gather(g, v)  -> transpose: psum_scatter of dG3/dVt shards
+      ppermute halos(f) -> transpose: reverse ppermute of the halo grads
+    so the fused kernel's dG3 partial (computed per device over all keys)
+    is reduce-scattered over ICI automatically.
+    """
+    if not pono_c:
+        raise NotImplementedError(
+            "attend_shift9_sp implements PONO_C centering (the flagship "
+            "config); use attend_unfold_sp/attend_unfold for spatial "
+            "centering")
+    from cocosnet_tpu.ops.corr_shift import _unfold_stats
+    from cocosnet_tpu.ops.pallas_shift9 import _core, _row_stack3
+
+    b, hl, w, c = f_shard.shape
+    cd = c * 9
+    f_shard = f_shard.astype(jnp.float32)
+    g_shard = g_shard.astype(jnp.float32)
+
+    g_full = jax.lax.all_gather(g_shard, axis_name, axis=1, tiled=True)
+    v_full = jax.lax.all_gather(v_shard.astype(jnp.float32), axis_name,
+                                axis=1, tiled=True)
+    hg = g_full.shape[1]
+    n_keys = hg * w
+
+    # key-side stats + row-stack from the gathered map (replicated compute)
+    gs1, gs2 = _unfold_stats(g_full, 3)
+    k_mu = (gs1 / cd).reshape(b, n_keys)
+    k_norm = _safe_norm((gs2 - gs1 * gs1 / cd).reshape(b, n_keys))
+    g3 = _row_stack3(g_full).reshape(b, n_keys, 3 * c)
+
+    # query-side stats + row-stack from the ppermute-haloed shard: the
+    # boundary rows' dy-neighbours come from the adjacent devices (zeros
+    # at the global edges = the unfold's padding)
+    fh = _halo_rows(f_shard, 1, axis_name)            # (B, hl+2, W, C)
+    fs1, fs2 = _box_stats_from_halo(fh, 3, hl, w)
+    q_mu = (fs1 / cd).reshape(b, hl * w)
+    q_norm = _safe_norm((fs2 - fs1 * fs1 / cd).reshape(b, hl * w))
+    f3 = jnp.concatenate([fh[:, 0:hl], fh[:, 1:hl + 1], fh[:, 2:hl + 2]],
+                         axis=-1).reshape(b, hl * w, 3 * c)
+
+    zero = jnp.zeros_like(q_mu)
+    qv = jnp.stack([1.0 / (q_norm * tau), cd * q_mu, zero, zero], -1)
+    kv = jnp.stack([1.0 / k_norm, k_mu, jnp.zeros_like(k_mu),
+                    jnp.zeros_like(k_mu)], 1)
+
+    vt = jnp.swapaxes(v_full, 1, 2)
+    return _core(f3, g3, vt, qv, kv, w)

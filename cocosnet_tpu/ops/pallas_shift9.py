@@ -71,6 +71,19 @@ def _split_bf16(x: Array):
     return hi, lo
 
 
+def _out_struct(shape, dtype, *operands):
+    """ShapeDtypeStruct whose `vma` (varying-across-mesh-axes) is inherited
+    from the operands, so the pallas_calls trace under shard_map(check_vma=
+    True) — the kernel output varies over exactly the axes its inputs do
+    (used by ops/corr_sp.attend_shift9_sp)."""
+    vma = set()
+    for x in operands:
+        vma |= set(getattr(jax.typeof(x), "vma", ()) or ())
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=frozenset(vma))
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 def _dot_split(ahi, alo, bhi, blo, dims):
     """bf16x3 product of pre-split operands, f32 accumulation."""
     def d(x, y):
@@ -158,14 +171,18 @@ def _fwd_kernel(w, fqh_ref, fql_ref, gkh_ref, gkl_ref, vt_ref,
 
 
 def _fwd(f3h, f3l, g3h, g3l, vt, qv, kv, w):
-    b, n, c3 = f3h.shape
+    """nq (query rows, from f3) and nk (key rows, from g3) may differ:
+    the spatial-parallel form (ops/corr_sp.attend_shift9_sp) runs each
+    device's query shard against the all-gathered keys."""
+    b, nq, c3 = f3h.shape
+    nk = g3h.shape[1]
     d = vt.shape[1]
     r = _block_rows(w)
-    bq = min(r * w, n)
-    bk = min(r * w, n)
+    bq = min(r * w, nq)
+    bk = min(r * w, nk)
     o, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, w),
-        grid=(b, n // bq, n // bk),
+        grid=(b, nq // bq, nk // bk),
         in_specs=[
             pl.BlockSpec((1, bq, c3), lambda ib, iq, ik: (ib, iq, 0)),
             pl.BlockSpec((1, bq, c3), lambda ib, iq, ik: (ib, iq, 0)),
@@ -180,8 +197,8 @@ def _fwd(f3h, f3l, g3h, g3l, vt, qv, kv, w):
             pl.BlockSpec((1, bq, 1), lambda ib, iq, ik: (ib, iq, 0)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, n, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
+            _out_struct((b, nq, d), jnp.float32, f3h, g3h, vt),
+            _out_struct((b, nq, 1), jnp.float32, f3h, g3h, vt),
         ),
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),
@@ -190,9 +207,10 @@ def _fwd(f3h, f3l, g3h, g3l, vt, qv, kv, w):
         ],
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * n * n * (3 * c3 + d),
-            bytes_accessed=4 * b * ((n // bq) * n * c3 + n * c3 + n * d),
-            transcendentals=b * n * n,
+            flops=2 * b * nq * nk * (3 * c3 + d),
+            bytes_accessed=4 * b * ((nq // bq) * nk * c3 + nq * c3
+                                    + nk * d),
+            transcendentals=b * nq * nk,
         ),
     )(f3h, f3l, g3h, g3l, vt, qv, kv)
     return o, lse
@@ -282,15 +300,16 @@ def _dk_kernel(w, fqh_ref, fql_ref, gkh_ref, gkl_ref, vt_ref,
 
 
 def _bwd(f3h, f3l, g3h, g3l, vt, qv, kv, w, lse, dd, gt):
-    b, n, c3 = f3h.shape
+    b, nq, c3 = f3h.shape
+    nk = g3h.shape[1]
     d = vt.shape[1]
     r = _block_rows_bwd(w)
-    bq = min(r * w, n)
-    bk = min(r * w, n)
+    bq = min(r * w, nq)
+    bk = min(r * w, nk)
 
     df, dqv = pl.pallas_call(
         functools.partial(_dq_kernel, w),
-        grid=(b, n // bq, n // bk),
+        grid=(b, nq // bq, nk // bk),
         in_specs=[
             pl.BlockSpec((1, bq, c3), lambda ib, iq, ik: (ib, iq, 0)),
             pl.BlockSpec((1, bq, c3), lambda ib, iq, ik: (ib, iq, 0)),
@@ -308,8 +327,8 @@ def _bwd(f3h, f3l, g3h, g3l, vt, qv, kv, w, lse, dd, gt):
             pl.BlockSpec((1, bq, 4), lambda ib, iq, ik: (ib, iq, 0)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, n, c3), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, 4), jnp.float32),
+            _out_struct((b, nq, c3), jnp.float32, f3h, g3h, vt, gt),
+            _out_struct((b, nq, 4), jnp.float32, f3h, g3h, vt, gt),
         ),
         scratch_shapes=[
             pltpu.VMEM((bq, c3), jnp.float32),
@@ -320,7 +339,7 @@ def _bwd(f3h, f3l, g3h, g3l, vt, qv, kv, w, lse, dd, gt):
 
     dg, dkv, dvt = pl.pallas_call(
         functools.partial(_dk_kernel, w),
-        grid=(b, n // bk, n // bq),
+        grid=(b, nk // bk, nq // bq),
         in_specs=[
             pl.BlockSpec((1, bq, c3), lambda ib, ik, iq: (ib, iq, 0)),
             pl.BlockSpec((1, bq, c3), lambda ib, ik, iq: (ib, iq, 0)),
@@ -339,9 +358,9 @@ def _bwd(f3h, f3l, g3h, g3l, vt, qv, kv, w, lse, dd, gt):
             pl.BlockSpec((1, d, bk), lambda ib, ik, iq: (ib, 0, ik)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, n, c3), jnp.float32),
-            jax.ShapeDtypeStruct((b, 4, n), jnp.float32),
-            jax.ShapeDtypeStruct((b, d, n), jnp.float32),
+            _out_struct((b, nk, c3), jnp.float32, f3h, g3h, vt, gt),
+            _out_struct((b, 4, nk), jnp.float32, f3h, g3h, vt, gt),
+            _out_struct((b, d, nk), jnp.float32, f3h, g3h, vt, gt),
         ),
         scratch_shapes=[
             pltpu.VMEM((bk, c3), jnp.float32),
