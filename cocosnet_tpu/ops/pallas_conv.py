@@ -39,6 +39,7 @@ can slot in later without touching callers.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -220,7 +221,10 @@ def _conv3x3(x: Array, kernel: Array, bias: Array, reflect: bool, leaky):
 
 def _fwd(x, kernel, bias, reflect, leaky):
     out = _conv3x3(x, kernel, bias, reflect, leaky)
-    return out, (x, kernel, out)
+    # the output residual is only needed to invert a fused LeakyReLU's
+    # sign; storing it unconditionally costs a full activation of HBM
+    # per conv in training
+    return out, (x, kernel, out if leaky is not None else None)
 
 
 def _full_pad(x: Array, reflect: bool) -> Array:
@@ -238,15 +242,22 @@ def _bwd(reflect, leaky, res, g):
         g = jnp.where(out >= 0, g, leaky * g)
     db = jnp.sum(g, axis=(0, 1, 2)).astype(jnp.float32)
     gk = g.astype(x.dtype)
-    # d(padded x): VALID conv of re-padded g with 180deg-rotated, IO-swapped
+    # d(padded x): conv of g with the 180deg-rotated, IO-swapped kernel
     krot = jnp.flip(kernel, (0, 1)).swapaxes(2, 3).astype(x.dtype)
-    dxf = jax.lax.conv_general_dilated(
-        jnp.pad(gk, ((0, 0), (2, 2), (2, 2), (0, 0))), krot,
-        window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    # pull back through the pad (reflect adjoint = edge scatter-add)
-    _, pad_vjp = jax.vjp(lambda t: _full_pad(t, reflect), x)
-    dx = pad_vjp(dxf.astype(x.dtype))[0]
+    if not reflect:
+        # zero ring: the pad adjoint is interior slicing, so dx is just a
+        # SAME-zero 3x3 conv of g — run it through THIS kernel (the same
+        # MXU win as the forward; XLA's emitter only carries the dw conv)
+        dx = _conv3x3(gk, krot, jnp.zeros((krot.shape[-1],), jnp.float32),
+                      False, None).astype(x.dtype)
+    else:
+        dxf = jax.lax.conv_general_dilated(
+            jnp.pad(gk, ((0, 0), (2, 2), (2, 2), (0, 0))), krot,
+            window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        # pull back through the pad (reflect adjoint = edge scatter-add)
+        _, pad_vjp = jax.vjp(lambda t: _full_pad(t, reflect), x)
+        dx = pad_vjp(dxf.astype(x.dtype))[0]
     # d kernel: correlate padded x with g, batch as the contraction dim
     xf = _full_pad(x, reflect)
     dw = jax.lax.conv_general_dilated(
@@ -260,6 +271,27 @@ def _bwd(reflect, leaky, res, g):
 _conv3x3.defvjp(_fwd, _bwd)
 
 
+_IN_TRAINING_TRACE = False
+
+
+@contextlib.contextmanager
+def training_trace():
+    """Marks the dynamic extent of tracing a TRAINING step. The fused conv
+    defaults off there: the fwd+bwd A/B at batch 8 measured 16.4 vs 18.9
+    img/s for XLA (the custom-VJP boundary costs XLA its producer/consumer
+    fusions around every conv, which the backward's extra HBM traffic does
+    not win back). Inference keeps the fused path (1.27x end-to-end).
+    Set COCOSNET_FUSED_CONV_TRAIN=1 to re-enable in training (e.g. to
+    re-measure after backward-kernel work)."""
+    global _IN_TRAINING_TRACE
+    prev = _IN_TRAINING_TRACE
+    _IN_TRAINING_TRACE = True
+    try:
+        yield
+    finally:
+        _IN_TRAINING_TRACE = prev
+
+
 def conv3x3_supported(x_shape, kernel_shape, *, stride: int,
                       dilation: int, padding: int) -> bool:
     """Gate for the fused path: TPU, 3x3 stride-1 dilation-1 with symmetric
@@ -268,6 +300,10 @@ def conv3x3_supported(x_shape, kernel_shape, *, stride: int,
     (PERF.md conv table) beats XLA's conv emitter."""
     import os
     if os.environ.get("COCOSNET_FUSED_CONV", "1") in ("0", "false"):
+        return False
+    if _IN_TRAINING_TRACE and \
+            os.environ.get("COCOSNET_FUSED_CONV_TRAIN", "0") \
+            not in ("1", "true"):
         return False
     if not _is_tpu():
         return False

@@ -42,6 +42,22 @@ def _set_params(variables: Dict[str, Vars], params: Dict[str, Any]):
     return out
 
 
+def _trace_as_training(step_fn):
+    """Trace the step inside ops.pallas_conv.training_trace(): convs pick
+    their backend per shape AND per train/infer context (the fused conv
+    wins inference 1.27x but loses the fwd+bwd A/B — see pallas_conv)."""
+    import functools
+
+    from cocosnet_tpu.ops import pallas_conv
+
+    @functools.wraps(step_fn)
+    def wrapped(*args, **kwargs):
+        with pallas_conv.training_trace():
+            return step_fn(*args, **kwargs)
+
+    return wrapped
+
+
 def make_train_step(nets: P.Pix2PixNets):
     opt = nets.opt
     tx_g, tx_d = S.make_optimizers(opt)
@@ -143,7 +159,7 @@ def make_train_step(nets: P.Pix2PixNets):
         }
         return new_state, metrics, visuals
 
-    return train_step
+    return _trace_as_training(train_step)
 
 
 def make_d_step(nets: P.Pix2PixNets):
@@ -188,7 +204,7 @@ def make_d_step(nets: P.Pix2PixNets):
             opt_d=opt_d, ema=state.ema, noise_rng=state.noise_rng)
         return new_state, d_losses
 
-    return d_step
+    return _trace_as_training(d_step)
 
 
 def make_inference_step(nets: P.Pix2PixNets):

@@ -110,3 +110,20 @@ def test_pick_tiles_fits_vmem():
         k3 = 2 * 9 * c * cot * 2
         outb = 2 * r * wo * cot * 2
         assert slabs + x3 + acc + k3 + outb <= 12 * 1024 * 1024
+
+
+def test_training_trace_gate(monkeypatch):
+    """Training steps trace with the fused conv off by default (fwd+bwd
+    A/B loses to XLA's fused backward); COCOSNET_FUSED_CONV_TRAIN=1
+    re-enables. Inference tracing is unaffected."""
+    from cocosnet_tpu.ops import pallas_conv as pc
+    monkeypatch.setattr(pc, "_is_tpu", lambda: True)
+    args = ((2, 64, 64, 128), (3, 3, 128, 128))
+    kw = dict(stride=1, dilation=1, padding=1)
+    assert pc.conv3x3_supported(*args, **kw)
+    with pc.training_trace():
+        assert not pc.conv3x3_supported(*args, **kw)
+        monkeypatch.setenv("COCOSNET_FUSED_CONV_TRAIN", "1")
+        assert pc.conv3x3_supported(*args, **kw)
+    monkeypatch.delenv("COCOSNET_FUSED_CONV_TRAIN")
+    assert pc.conv3x3_supported(*args, **kw)
