@@ -66,8 +66,10 @@ def reflect_pad_2d(x: Array, pad: int) -> Array:
 
 def conv2d(x: Array, kernel: Array, bias: Optional[Array] = None, *,
            stride: int = 1, padding: int = 0, dilation: int = 1,
-           compute_dtype=None) -> Array:
-    """torch F.conv2d semantics on NHWC input, HWIO kernel.
+           compute_dtype=None, reflect: bool = False) -> Array:
+    """torch F.conv2d semantics on NHWC input, HWIO kernel; reflect=True
+    applies a ReflectionPad2d ring of (k-1)/2*dilation first (the single
+    dispatch point for the fused kernel's in-VMEM reflection).
 
     Under the bf16 compute policy operands AND output stay bf16: the MXU
     accumulates in f32 internally and only the output store rounds, while
@@ -80,12 +82,19 @@ def conv2d(x: Array, kernel: Array, bias: Optional[Array] = None, *,
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         kernel = kernel.astype(compute_dtype)
+    if reflect:
+        assert padding == 0 and stride == 1
     from cocosnet_tpu.ops.pallas_conv import conv3x3_fused, conv3x3_supported
     if conv3x3_supported(x.shape, kernel.shape, stride=stride,
-                         dilation=dilation, padding=padding):
+                         dilation=dilation,
+                         padding=1 if reflect else padding,
+                         itemsize=jnp.dtype(x.dtype).itemsize):
         # fused implicit-GEMM kernel (ops/pallas_conv.py): same math, f32
-        # accumulation; bias adds pre-rounding (one fewer bf16 round)
-        return conv3x3_fused(x, kernel, bias)
+        # accumulation; bias adds pre-rounding (one fewer bf16 round); a
+        # reflect ring realizes inside VMEM instead of a padded HBM copy
+        return conv3x3_fused(x, kernel, bias, reflect=reflect)
+    if reflect:
+        x = reflect_pad_2d(x, dilation * (kernel.shape[0] - 1) // 2)
     y = jax.lax.conv_general_dilated(
         x, kernel,
         window_strides=(stride, stride),
@@ -168,23 +177,9 @@ class Conv2d(nn.Module):
             fan_in = cin * k * k
             kernel = kernel * jnp.sqrt(2.0 / fan_in).astype(kernel.dtype)
 
-        if self.reflect_pad:
-            assert self.padding == 0 and self.stride == 1
-            pw = self.dilation * (k - 1) // 2
-            cd = self.compute_dtype or _COMPUTE_DTYPE
-            from cocosnet_tpu.ops.pallas_conv import (conv3x3_fused,
-                                                      conv3x3_supported)
-            if conv3x3_supported(x.shape, kernel.shape, stride=1,
-                                 dilation=self.dilation, padding=1):
-                if cd is not None:
-                    x, kernel = x.astype(cd), kernel.astype(cd)
-                return conv3x3_fused(x, kernel, bias, reflect=True)
-            return conv2d(reflect_pad_2d(x, pw), kernel, bias,
-                          stride=1, padding=0, dilation=self.dilation,
-                          compute_dtype=self.compute_dtype)
-
         return conv2d(x, kernel, bias, stride=self.stride, padding=self.padding,
-                      dilation=self.dilation, compute_dtype=self.compute_dtype)
+                      dilation=self.dilation, compute_dtype=self.compute_dtype,
+                      reflect=self.reflect_pad)
 
     def _spectral_normalize(self, kernel: Array) -> Array:
         # torch reshapes OIHW -> (O, I*kh*kw); our HWIO kernel transposes to

@@ -194,16 +194,33 @@ def attend_shift9_sp(f_shard: Array, g_shard: Array, v_shard: Array,
             "config); use attend_unfold_sp/attend_unfold for spatial "
             "centering")
     from cocosnet_tpu.ops.corr_shift import _unfold_stats
-    from cocosnet_tpu.ops.pallas_shift9 import _core, _row_stack3
+    from cocosnet_tpu.ops.pallas_shift9 import (_block_rows,
+                                                _block_rows_bwd, _core,
+                                                _row_stack3, _is_tpu)
 
     b, hl, w, c = f_shard.shape
     cd = c * 9
+    # the pallas grid floor-divides rows into whole-row blocks: an hl that
+    # doesn't tile would silently leave output rows unwritten, so reject it
+    # here (on TPU additionally require the Mosaic lane constraints)
+    if _is_tpu() and not shift9_sp_supported(hl, w, c):
+        raise ValueError(
+            f"attend_shift9_sp: shard shape (hl={hl}, w={w}, c={c}) fails "
+            "the kernel lowering constraints (shift9_sp_supported); use "
+            "attend_unfold_sp for this shape")
+    for r in (_block_rows(w), _block_rows_bwd(w)):
+        if hl > r and hl % r != 0:
+            raise ValueError(
+                f"attend_shift9_sp: shard rows hl={hl} do not tile the "
+                f"kernel's {r}-row blocks; pick a divisor shard count or "
+                "use attend_unfold_sp")
+    # gather in the source dtype (halves ICI bytes for bf16 callers);
+    # the f32 cast happens on the gathered copy
     f_shard = f_shard.astype(jnp.float32)
-    g_shard = g_shard.astype(jnp.float32)
-
-    g_full = jax.lax.all_gather(g_shard, axis_name, axis=1, tiled=True)
-    v_full = jax.lax.all_gather(v_shard.astype(jnp.float32), axis_name,
-                                axis=1, tiled=True)
+    g_full = jax.lax.all_gather(g_shard, axis_name, axis=1,
+                                tiled=True).astype(jnp.float32)
+    v_full = jax.lax.all_gather(v_shard, axis_name, axis=1,
+                                tiled=True).astype(jnp.float32)
     hg = g_full.shape[1]
     n_keys = hg * w
 

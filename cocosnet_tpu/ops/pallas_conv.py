@@ -87,7 +87,10 @@ def _pick_tiles(ho: int, wo: int, cp: int, cop: int, itemsize: int):
             r -= 1
     while vmem(r, cot) > _BUDGET and cot > 128:
         cot = [c for c in cot_divs if c < cot][0]
-    return max(r, 1), cot
+    r = max(r, 1)
+    if vmem(r, cot) > _BUDGET:
+        return None  # even the minimum tiling busts VMEM — caller gates
+    return r, cot
 
 
 def _conv_kernel(r, wo, cp, cot, nh, leaky, reflect_w,
@@ -95,7 +98,6 @@ def _conv_kernel(r, wo, cp, cot, nh, leaky, reflect_w,
     ib = pl.program_id(0)
     ih = pl.program_id(1)
     j = pl.program_id(2)
-    nc = pl.num_programs(2)
     step = ib * nh + ih
     nsteps = pl.num_programs(0) * nh
 
@@ -157,7 +159,9 @@ def _conv3x3_pallas(xq: Array, k3: Array, bias: Array, leaky,
     b, hq, wo, cp = xq.shape
     ho = hq - 2
     cop = k3.shape[-1]
-    r, cot = _pick_tiles(ho, wo, cp, cop, jnp.dtype(xq.dtype).itemsize)
+    tiles = _pick_tiles(ho, wo, cp, cop, jnp.dtype(xq.dtype).itemsize)
+    assert tiles is not None, "conv3x3_supported must gate VMEM-infeasible shapes"
+    r, cot = tiles
     nh = ho // r
     nc = cop // cot
 
@@ -293,7 +297,8 @@ def training_trace():
 
 
 def conv3x3_supported(x_shape, kernel_shape, *, stride: int,
-                      dilation: int, padding: int) -> bool:
+                      dilation: int, padding: int,
+                      itemsize: int = 2) -> bool:
     """Gate for the fused path: TPU, 3x3 stride-1 dilation-1 with symmetric
     padding 1 (zero or reflect ring on the UNpadded input). Width must be
     lane-tileable and the shape must be one where the measured A/B
@@ -324,6 +329,11 @@ def conv3x3_supported(x_shape, kernel_shape, *, stride: int,
     # emitter handles the odd channel count without the 128-lane rounding
     pad_ratio = (_round_up(c, 128) / c) * (_round_up(cout, 128) / cout)
     if pad_ratio > 1.5 and min(c, cout) >= 256:
+        return False
+    # the tiling search must fit scoped VMEM even at the minimum tile
+    # (wide-row x wide-channel shapes can't); fall back to XLA if not
+    if _pick_tiles(h, w, _round_up(c, 128), _round_up(cout, 128),
+                   itemsize) is None:
         return False
     return True
 

@@ -86,6 +86,20 @@ def main():
     proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
                             stderr=subprocess.STDOUT, text=True)
 
+    # drain the server's output continuously (a long run prints enough
+    # 'served N requests' lines to fill the 64KB pipe and deadlock the
+    # server mid-print otherwise); keep a tail for error reporting
+    import collections
+    import threading
+    tail = collections.deque(maxlen=50)
+
+    def _drain():
+        for line in proc.stdout:
+            tail.append(line)
+
+    drainer = threading.Thread(target=_drain, daemon=True)
+    drainer.start()
+
     t_sent = {}
     try:
         # warmup batch first so compile time never pollutes arrivals
@@ -107,7 +121,7 @@ def main():
         t0 = time.perf_counter()
         while not outputs_done("w", args.warmup):
             if proc.poll() is not None:
-                print(proc.stdout.read())
+                print("".join(tail))
                 raise SystemExit("serve.py exited during warmup")
             if time.perf_counter() - t0 > args.timeout_s:
                 raise SystemExit("warmup timeout (compile too slow?)")
@@ -129,7 +143,7 @@ def main():
         deadline = time.perf_counter() + args.timeout_s
         while len(lat) < args.n_requests:
             if proc.poll() is not None:
-                print(proc.stdout.read())
+                print("".join(tail))
                 raise SystemExit("serve.py exited mid-run")
             if time.perf_counter() > deadline:
                 raise SystemExit(f"timeout with {len(lat)} done")

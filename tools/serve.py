@@ -218,8 +218,11 @@ def main():
                 continue
             try:
                 item = load_request(r)
-            except (ValueError, OSError) as e:
-                fail(r, str(e))
+            except Exception as e:  # noqa: BLE001 — a bad request must
+                # never kill the worker thread: record it and move on
+                # (the old serial loop caught only ValueError/OSError and
+                # crashed the whole server on anything else)
+                fail(r, f"{type(e).__name__}: {e}")
                 continue
             ready_q.put((r, item, t_disc))
 
@@ -229,17 +232,28 @@ def main():
             if got is None:
                 return
             out_dev, metas = got
-            out = np.asarray(out_dev)          # sync point for this batch
+            try:
+                out = np.asarray(out_dev)      # sync point for this batch
+            except Exception as e:             # device-side failure
+                for _, r, _ in metas:
+                    fail(r, f"device error: {type(e).__name__}: {e}")
+                continue
             t_done = time.perf_counter()
             lats = []
             for j, r, t_disc in metas:
-                img = np.clip((out[j] + 1) * 127.5 + 0.5, 0, 255) \
-                    .astype(np.uint8)
-                Image.fromarray(img).save(
-                    os.path.join(extra_ns.out_dir, r + ".png"))
+                try:
+                    img = np.clip((out[j] + 1) * 127.5 + 0.5, 0, 255) \
+                        .astype(np.uint8)
+                    Image.fromarray(img).save(
+                        os.path.join(extra_ns.out_dir, r + ".png"))
+                except Exception as e:         # e.g. disk full mid-save
+                    fail(r, f"write error: {type(e).__name__}: {e}")
+                    continue
                 lats.append((t_done - t_disc) * 1000.0)
                 with inflight_lock:
                     inflight[0] -= 1
+            if not lats:
+                continue
             with stats_lock:
                 latencies.extend(lats)
                 served[0] += len(lats)
@@ -270,9 +284,11 @@ def main():
                             and ready_q.empty():
                         break
             # continuous batching: block for the first ready item, then
-            # top up until the batch fills or the window expires
+            # top up until the batch fills or the window expires. The idle
+            # block is capped by --poll_s so discovery latency honors it.
             try:
-                first = ready_q.get(timeout=0.2)
+                first = ready_q.get(
+                    timeout=max(0.01, min(0.2, extra_ns.poll_s)))
             except queue.Empty:
                 continue
             metas = [first]
