@@ -248,20 +248,42 @@ def _bwd(reflect, leaky, res, g):
     gk = g.astype(x.dtype)
     # d(padded x): conv of g with the 180deg-rotated, IO-swapped kernel
     krot = jnp.flip(kernel, (0, 1)).swapaxes(2, 3).astype(x.dtype)
-    if not reflect:
-        # zero ring: the pad adjoint is interior slicing, so dx is just a
-        # SAME-zero 3x3 conv of g — run it through THIS kernel (the same
-        # MXU win as the forward; XLA's emitter only carries the dw conv)
-        dx = _conv3x3(gk, krot, jnp.zeros((krot.shape[-1],), jnp.float32),
-                      False, None).astype(x.dtype)
-    else:
-        dxf = jax.lax.conv_general_dilated(
-            jnp.pad(gk, ((0, 0), (2, 2), (2, 2), (0, 0))), krot,
-            window_strides=(1, 1), padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        # pull back through the pad (reflect adjoint = edge scatter-add)
-        _, pad_vjp = jax.vjp(lambda t: _full_pad(t, reflect), x)
-        dx = pad_vjp(dxf.astype(x.dtype))[0]
+    # The full-correlation grid D(a,b) = sum_{u,v} g(a-u, b-v) W[u,v] on
+    # (H+2, W+2) decomposes into an interior — exactly a SAME-zero 3x3
+    # conv of g with krot, which runs through THIS kernel — plus a
+    # boundary ring that only the reflect adjoint consumes (the zero-pad
+    # adjoint just slices the interior). The ring cells depend on a single
+    # edge row/col of g (only one u or v reaches outside), so they cost
+    # four 1-D correlations instead of the padded 2-D conv XLA ran before.
+    zero_b = jnp.zeros((krot.shape[-1],), jnp.float32)
+    dx = _conv3x3(gk, krot, zero_b, False, None).astype(x.dtype)
+    if reflect:
+        bsz, hh, ww, cout = gk.shape
+        kf = kernel.astype(jnp.float32)  # (3, 3, Cin, Cout)
+
+        def line1d(line, wline, n):
+            """D along one boundary: sum_v line(t-v) wline[v]; (B,n+2,Cin)."""
+            out = jnp.zeros((bsz, n + 2, kf.shape[2]), jnp.float32)
+            lf = line.astype(jnp.float32)
+            for v in range(3):
+                out = out.at[:, v:v + n].add(
+                    jnp.einsum("bto,io->bti", lf, wline[v]))
+            return out.astype(x.dtype)
+
+        top = line1d(gk[:, 0], kf[0], ww)        # D[0, :]   (only u=0)
+        bot = line1d(gk[:, -1], kf[2], ww)       # D[H+1, :] (only u=2)
+        left = line1d(gk[:, :, 0], kf[:, 0], hh)   # D[:, 0]
+        right = line1d(gk[:, :, -1], kf[:, 2], hh)  # D[:, W+1]
+        # reflect scatter: cell (a,b) lands on (rho(a-1), rho(b-1)) with
+        # rho(-1)=1, rho(n)=n-2; corners ride the top/bottom rows
+        dx = dx.at[:, 1, :].add(top[:, 1:ww + 1])
+        dx = dx.at[:, 1, 1].add(top[:, 0])
+        dx = dx.at[:, 1, ww - 2].add(top[:, ww + 1])
+        dx = dx.at[:, hh - 2, :].add(bot[:, 1:ww + 1])
+        dx = dx.at[:, hh - 2, 1].add(bot[:, 0])
+        dx = dx.at[:, hh - 2, ww - 2].add(bot[:, ww + 1])
+        dx = dx.at[:, :, 1].add(left[:, 1:hh + 1])
+        dx = dx.at[:, :, ww - 2].add(right[:, 1:hh + 1])
     # d kernel: correlate padded x with g, batch as the contraction dim
     xf = _full_pad(x, reflect)
     dw = jax.lax.conv_general_dilated(
@@ -331,9 +353,11 @@ def conv3x3_supported(x_shape, kernel_shape, *, stride: int,
     if pad_ratio > 1.5 and min(c, cout) >= 256:
         return False
     # the tiling search must fit scoped VMEM even at the minimum tile
-    # (wide-row x wide-channel shapes can't); fall back to XLA if not
-    if _pick_tiles(h, w, _round_up(c, 128), _round_up(cout, 128),
-                   itemsize) is None:
+    # (wide-row x wide-channel shapes can't); fall back to XLA if not.
+    # The backward's dx conv swaps Cin/Cout, so both orientations must fit.
+    cp, cop = _round_up(c, 128), _round_up(cout, 128)
+    if _pick_tiles(h, w, cp, cop, itemsize) is None \
+            or _pick_tiles(h, w, cop, cp, itemsize) is None:
         return False
     return True
 

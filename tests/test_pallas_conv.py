@@ -127,3 +127,30 @@ def test_training_trace_gate(monkeypatch):
         assert pc.conv3x3_supported(*args, **kw)
     monkeypatch.delenv("COCOSNET_FUSED_CONV_TRAIN")
     assert pc.conv3x3_supported(*args, **kw)
+
+
+@pytest.mark.parametrize("shape", [
+    (2, 12, 16, 64, 128),    # multi row-block, Cin != Cout
+    (1, 8, 32, 96, 64),      # wider rows, odd-ish channels
+])
+def test_reflect_dx_ring_decomposition(shape):
+    """The reflect backward computes dx as fused-interior + 1-D boundary
+    ring scatter (ops/pallas_conv._bwd); pin it against lax.conv autodiff
+    through an explicit reflect pad, which exercises every corner cell."""
+    b_, h, w, ci, co = shape
+    rs = np.random.RandomState(5)
+    x = jnp.asarray(rs.randn(b_, h, w, ci).astype(np.float32))
+    k = jnp.asarray((rs.randn(3, 3, ci, co) * 0.05).astype(np.float32))
+    b = jnp.asarray(rs.randn(co).astype(np.float32))
+    co_t = jnp.asarray(rs.randn(b_, h, w, co).astype(np.float32))
+
+    def loss_p(x_):
+        return jnp.vdot(conv3x3_fused(x_, k, b, reflect=True), co_t)
+
+    def loss_r(x_):
+        return jnp.vdot(_oracle(x_, k, b, True), co_t)
+
+    gp = jax.grad(loss_p)(x)
+    gr = jax.grad(loss_r)(x)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                               atol=2e-3, rtol=2e-3)
