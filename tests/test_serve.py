@@ -96,3 +96,28 @@ def test_serve_bad_request_writes_error(monkeypatch, tmp_path):
     monkeypatch.setattr(sys, "argv", argv)
     serve.main()
     assert (out / "x.error.txt").exists()
+
+
+def test_serve_unexpected_pipeline_error_does_not_kill_worker(
+        monkeypatch, tmp_path):
+    """An exception class the pipeline was not expected to raise must still
+    produce an .error.txt and let --once terminate — previously it killed
+    the preprocessor thread silently and the server hung (round-3 review)."""
+    from cocosnet_tpu.data.loader import dataset_registry
+    cls = dataset_registry()["ade20k"]
+
+    def boom(self, path):
+        raise RuntimeError("synthetic pipeline failure")
+
+    monkeypatch.setattr(cls, "get_label_tensor", boom)
+    serve, watch, out, argv = _run_serve(monkeypatch, tmp_path, [
+        "--name", "boom_smoke", "--dataset_mode", "ade20k"])
+    Image.fromarray(np.zeros((64, 64), np.uint8)).save(watch / "y.label.png")
+    Image.fromarray(np.zeros((64, 64), np.uint8)).save(
+        watch / "y.ref_label.png")
+    Image.fromarray(np.zeros((64, 64, 3), np.uint8)).save(watch / "y.ref.jpg")
+    monkeypatch.setattr(sys, "argv", argv)
+    serve.main()  # --once must return, not hang
+    err = out / "y.error.txt"
+    assert err.exists()
+    assert "RuntimeError" in err.read_text()
