@@ -163,6 +163,7 @@ class Options:
     coordinator_address: str = ""      # host:port of process 0
     num_processes: int = -1            # -1 = auto-detect (TPU pod metadata)
     process_id: int = -1               # -1 = auto-detect
+    dist_timeout_s: int = 900          # RegisterTask deadline (straggler hosts)
 
     # ---- derived (set in finalize) ----
     semantic_nc: int = 0

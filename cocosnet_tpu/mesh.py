@@ -43,6 +43,31 @@ def maybe_init_distributed(opt) -> bool:
         kw["num_processes"] = opt.num_processes
     if getattr(opt, "process_id", -1) >= 0:
         kw["process_id"] = opt.process_id
+    # straggler tolerance: hosts can take minutes to reach initialize()
+    # (container start, imports, contended CPUs) and to drain final
+    # saves before shutdown — the jax default 300s deadlines kill the
+    # whole job when one host lags either barrier
+    t = int(getattr(opt, "dist_timeout_s", 900) or 900)
+    kw["initialization_timeout"] = t
+    kw["shutdown_timeout_seconds"] = t
+    # the coordination client FATALLY aborts (C++ LOG(FATAL), uncatchable)
+    # ~50s after RegisterTask if the coordinator port is not even bound
+    # yet — initialization_timeout does not cover connection-refused. So
+    # non-coordinator processes first wait for the coordinator to listen.
+    if coord and kw.get("process_id", 0) != 0:
+        import socket
+        import time as _time
+        host, _, port = coord.rpartition(":")
+        deadline = _time.time() + t
+        while _time.time() < deadline:
+            try:
+                socket.create_connection((host, int(port)), timeout=5).close()
+                break
+            except OSError:
+                _time.sleep(3)
+        else:
+            raise TimeoutError(
+                f"coordinator {coord} not reachable within {t}s")
     jax.distributed.initialize(**kw)  # no-arg form auto-detects on TPU pods
     return jax.process_count() > 1
 
