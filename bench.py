@@ -213,7 +213,34 @@ def bench_latency_p50() -> float:
     return float(np.median(times))
 
 
+def _probe_device(timeout_s: int = 180) -> bool:
+    """True when a JAX device initializes within timeout_s, probed in a
+    SUBPROCESS: when the axon tunnel is down, backend init hangs
+    indefinitely inside the PJRT plugin (uninterruptible C call), so an
+    in-process timeout cannot help. A hung probe is killed and the bench
+    fails fast with a diagnostic JSON line instead of stalling the driver."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend(), len(jax.devices()))"],
+            timeout=timeout_s, capture_output=True, text=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _probe_device():
+        print(json.dumps({
+            "metric": "ade20k_256px_exemplar_translation_inference",
+            "value": None,
+            "unit": "images/sec/chip",
+            "vs_baseline": None,
+            "error": "device backend did not initialize within 180s "
+                     "(axon tunnel down?) — bench aborted instead of hanging",
+        }))
+        sys.exit(2)
     tpu_ips = bench_tpu()
     try:
         p50 = bench_latency_p50()
