@@ -242,10 +242,14 @@ class CorrespondenceNet(nn.Module):
                 theta = jax.lax.stop_gradient(theta)
                 phi = jax.lax.stop_gradient(phi)
             # fused single-position kernel (ops/pallas_corr.py): VMEM-resident
-            # keys cap the descriptor dim at 1024; inference-only — its
-            # streaming backward's 128-row matmuls underutilize the MXU vs
-            # XLA's batched backward (round-1 measurement)
-            use_pallas = (opt.use_pallas and not train
+            # keys cap the descriptor dim at 1024; inference-only by default
+            # — its streaming backward's 128-row matmuls underutilize the
+            # MXU vs XLA's batched backward (round-1 measurement;
+            # COCOSNET_PALLAS_MK1_TRAIN=1 re-enables for re-measurement)
+            import os as _os
+            use_pallas = (opt.use_pallas
+                          and (not train or _os.environ.get(
+                              "COCOSNET_PALLAS_MK1_TRAIN") == "1")
                           and jax.default_backend() == "tpu"
                           and theta.shape[-1] % 128 == 0
                           and theta.shape[-1] <= 1024)
