@@ -131,15 +131,20 @@ class ResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         assert self.padding == (self.kernel_size - 1) // 2
+        from cocosnet_tpu.nn.norms import instance_norm_apply
         prelu = PReLU(name="prelu")
-        out = Conv2d(self.channels, self.kernel_size, padding=0,
-                     reflect_pad=True, name="conv1")(x)
-        out = instance_norm(out)
-        out = prelu(out)
-        out = Conv2d(self.channels, self.kernel_size, padding=0,
-                     reflect_pad=True, name="conv2")(out)
-        out = instance_norm(out)
-        out = out + x
+        # conv + IN moments in one pass (ops/pallas_conv.py stats fusion on
+        # TPU inference; jnp moments of the conv output elsewhere — same
+        # math as instance_norm either way), then normalize+PReLU collapse
+        # into one elementwise op XLA fuses into the next conv's read
+        out, mean, var = Conv2d(self.channels, self.kernel_size, padding=0,
+                                reflect_pad=True, name="conv1")(
+                                    x, want_stats=True)
+        out = prelu(instance_norm_apply(out, mean, var))
+        out, mean, var = Conv2d(self.channels, self.kernel_size, padding=0,
+                                reflect_pad=True, name="conv2")(
+                                    out, want_stats=True)
+        out = instance_norm_apply(out, mean, var) + x
         return prelu(out)
 
 

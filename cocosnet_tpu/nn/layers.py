@@ -66,7 +66,8 @@ def reflect_pad_2d(x: Array, pad: int) -> Array:
 
 def conv2d(x: Array, kernel: Array, bias: Optional[Array] = None, *,
            stride: int = 1, padding: int = 0, dilation: int = 1,
-           compute_dtype=None, reflect: bool = False) -> Array:
+           compute_dtype=None, reflect: bool = False,
+           want_stats: bool = False):
     """torch F.conv2d semantics on NHWC input, HWIO kernel; reflect=True
     applies a ReflectionPad2d ring of (k-1)/2*dilation first (the single
     dispatch point for the fused kernel's in-VMEM reflection).
@@ -84,11 +85,33 @@ def conv2d(x: Array, kernel: Array, bias: Optional[Array] = None, *,
         kernel = kernel.astype(compute_dtype)
     if reflect:
         assert padding == 0 and stride == 1
-    from cocosnet_tpu.ops.pallas_conv import conv3x3_fused, conv3x3_supported
-    if conv3x3_supported(x.shape, kernel.shape, stride=stride,
-                         dilation=dilation,
-                         padding=1 if reflect else padding,
-                         itemsize=jnp.dtype(x.dtype).itemsize):
+    from cocosnet_tpu.ops.pallas_conv import (conv3x3_fused,
+                                              conv3x3_fused_stats,
+                                              conv3x3_stats_supported,
+                                              conv3x3_supported)
+    if want_stats and conv3x3_stats_supported(
+            x.shape, kernel.shape, stride=stride, dilation=dilation,
+            padding=1 if reflect else padding,
+            itemsize=jnp.dtype(x.dtype).itemsize):
+        # conv + instance-norm moments in ONE kernel pass (inference): the
+        # (sum, sumsq) reduce from the f32 accumulator per row block, so no
+        # second HBM pass over the output computes the statistics
+        return conv3x3_fused_stats(x, kernel, bias, reflect=reflect)
+    if want_stats:
+        # stats fusion unavailable (training trace / shape / backend):
+        # run the best conv path, then jnp statistics — identical math to
+        # norms.instance_norm on the materialized output, differentiable
+        y = conv2d(x, kernel, bias, stride=stride, padding=padding,
+                   dilation=dilation, compute_dtype=compute_dtype,
+                   reflect=reflect, want_stats=False)
+        y32 = y.astype(jnp.float32)
+        mean = jnp.mean(y32, axis=(1, 2), keepdims=True)
+        var = jnp.var(y32, axis=(1, 2), keepdims=True)
+        return y, mean, var
+    if conv3x3_supported(
+            x.shape, kernel.shape, stride=stride, dilation=dilation,
+            padding=1 if reflect else padding,
+            itemsize=jnp.dtype(x.dtype).itemsize):
         # fused implicit-GEMM kernel (ops/pallas_conv.py): same math, f32
         # accumulation; bias adds pre-rounding (one fewer bf16 round); a
         # reflect ring realizes inside VMEM instead of a padded HBM copy
@@ -161,7 +184,7 @@ class Conv2d(nn.Module):
     reflect_pad: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, want_stats: bool = False):
         cin = x.shape[-1]
         k = self.kernel_size
         kernel = self.param("kernel", xavier_normal_init(self.init_gain),
@@ -179,7 +202,7 @@ class Conv2d(nn.Module):
 
         return conv2d(x, kernel, bias, stride=self.stride, padding=self.padding,
                       dilation=self.dilation, compute_dtype=self.compute_dtype,
-                      reflect=self.reflect_pad)
+                      reflect=self.reflect_pad, want_stats=want_stats)
 
     def _spectral_normalize(self, kernel: Array) -> Array:
         # torch reshapes OIHW -> (O, I*kh*kw); our HWIO kernel transposes to

@@ -44,6 +44,16 @@ def instance_norm(x: Array, eps: float = 1e-5) -> Array:
     return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
+def instance_norm_apply(x: Array, mean: Array, var: Array,
+                        eps: float = 1e-5) -> Array:
+    """instance_norm with precomputed moments — the apply half when the
+    statistics came fused out of the conv kernel (ops/pallas_conv.py
+    conv3x3_fused_stats). One elementwise pass; XLA fuses it into the
+    consumer."""
+    x32 = x.astype(jnp.float32)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
 def positional_norm(x: Array, eps: float = 1e-5) -> Array:
     """PONO (normalization.py:63-68): normalize over the channel dim at every
     spatial position. torch .var() is unbiased — match it. Statistics in

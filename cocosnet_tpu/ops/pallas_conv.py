@@ -93,8 +93,12 @@ def _pick_tiles(ho: int, wo: int, cp: int, cop: int, itemsize: int):
     return r, cot
 
 
-def _conv_kernel(r, wo, cp, cot, nh, leaky, reflect_w,
-                 xq_hbm, k3_ref, b_ref, out_ref, slab, x3_s, sem):
+def _conv_kernel(r, wo, cp, cot, nh, leaky, reflect_w, want_stats,
+                 xq_hbm, k3_ref, b_ref, out_ref, *rest):
+    if want_stats:
+        stats_ref, slab, x3_s, sem = rest
+    else:
+        slab, x3_s, sem = rest
     ib = pl.program_id(0)
     ih = pl.program_id(1)
     j = pl.program_id(2)
@@ -149,13 +153,20 @@ def _conv_kernel(r, wo, cp, cot, nh, leaky, reflect_w,
     acc = acc + b_ref[:].astype(jnp.float32)
     if leaky is not None:
         acc = jnp.where(acc >= 0, acc, leaky * acc)
+    if want_stats:
+        # per-(sample, channel) partial moments of THIS row block, f32 from
+        # the accumulator (pre-rounding) — summed over row blocks outside;
+        # feeds instance norm without a second HBM pass over the output
+        stats_ref[0, 0] = jnp.stack(
+            [jnp.sum(acc, axis=0), jnp.sum(acc * acc, axis=0)])
     out_ref[0] = acc.reshape(r, wo, cot).astype(out_ref.dtype)
 
 
 def _conv3x3_pallas(xq: Array, k3: Array, bias: Array, leaky,
-                    reflect_w: bool) -> Array:
+                    reflect_w: bool, want_stats: bool = False):
     """xq: (B, Ho+2, W, Cp) H-padded input, Cp%128==0; k3: (3, 3Cp, Cop);
-    bias: (1, Cop). Returns (B, Ho, W, Cop) in xq's dtype."""
+    bias: (1, Cop). Returns (B, Ho, W, Cop) in xq's dtype; with want_stats
+    additionally a (B, nh, 2, Cop) f32 of per-row-block (sum, sumsq)."""
     b, hq, wo, cp = xq.shape
     ho = hq - 2
     cop = k3.shape[-1]
@@ -165,18 +176,25 @@ def _conv3x3_pallas(xq: Array, k3: Array, bias: Array, leaky,
     nh = ho // r
     nc = cop // cot
 
-    return pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((b, ho, wo, cop), xq.dtype)]
+    out_specs = [pl.BlockSpec((1, r, wo, cot),
+                              lambda ib, ih, j: (ib, ih, 0, j))]
+    if want_stats:
+        out_shape.append(jax.ShapeDtypeStruct((b, nh, 2, cop), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, 2, cot),
+                                      lambda ib, ih, j: (ib, ih, 0, j)))
+
+    res = pl.pallas_call(
         functools.partial(_conv_kernel, r, wo, cp, cot, nh, leaky,
-                          reflect_w),
+                          reflect_w, want_stats),
         grid=(b, nh, nc),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),           # xq stays in HBM
             pl.BlockSpec((3, 3 * cp, cot), lambda ib, ih, j: (0, 0, j)),
             pl.BlockSpec((1, cot), lambda ib, ih, j: (0, j)),
         ],
-        out_specs=pl.BlockSpec((1, r, wo, cot),
-                               lambda ib, ih, j: (ib, ih, 0, j)),
-        out_shape=jax.ShapeDtypeStruct((b, ho, wo, cop), xq.dtype),
+        out_specs=out_specs if want_stats else out_specs[0],
+        out_shape=out_shape if want_stats else out_shape[0],
         scratch_shapes=[
             pltpu.VMEM((2, r + 2, wo, cp), xq.dtype),
             pltpu.VMEM((r, wo, 3 * cp), xq.dtype),
@@ -189,6 +207,7 @@ def _conv3x3_pallas(xq: Array, k3: Array, bias: Array, leaky,
             transcendentals=0,
         ),
     )(xq, k3, bias)
+    return res
 
 
 def _pack_k3(kernel: Array, cp: int, cop: int) -> Array:
@@ -318,19 +337,10 @@ def training_trace():
         _IN_TRAINING_TRACE = prev
 
 
-def conv3x3_supported(x_shape, kernel_shape, *, stride: int,
-                      dilation: int, padding: int,
-                      itemsize: int = 2) -> bool:
-    """Gate for the fused path: TPU, 3x3 stride-1 dilation-1 with symmetric
-    padding 1 (zero or reflect ring on the UNpadded input). Width must be
-    lane-tileable and the shape must be one where the measured A/B
-    (PERF.md conv table) beats XLA's conv emitter."""
+def _base_supported(x_shape, kernel_shape, *, stride: int, dilation: int,
+                    padding: int, itemsize: int) -> bool:
     import os
     if os.environ.get("COCOSNET_FUSED_CONV", "1") in ("0", "false"):
-        return False
-    if _IN_TRAINING_TRACE and \
-            os.environ.get("COCOSNET_FUSED_CONV_TRAIN", "0") \
-            not in ("1", "true"):
         return False
     if not _is_tpu():
         return False
@@ -346,12 +356,6 @@ def conv3x3_supported(x_shape, kernel_shape, *, stride: int,
         return False
     if c < 64 or cout < 64:
         return False
-    # measured loss zone (e.g. the 407ch residual stack, 0.92x): large
-    # channel counts that pad heavily on BOTH sides of the GEMM — XLA's
-    # emitter handles the odd channel count without the 128-lane rounding
-    pad_ratio = (_round_up(c, 128) / c) * (_round_up(cout, 128) / cout)
-    if pad_ratio > 1.5 and min(c, cout) >= 256:
-        return False
     # the tiling search must fit scoped VMEM even at the minimum tile
     # (wide-row x wide-channel shapes can't); fall back to XLA if not.
     # The backward's dx conv swaps Cin/Cout, so both orientations must fit.
@@ -360,6 +364,80 @@ def conv3x3_supported(x_shape, kernel_shape, *, stride: int,
             or _pick_tiles(h, w, cop, cp, itemsize) is None:
         return False
     return True
+
+
+def conv3x3_supported(x_shape, kernel_shape, *, stride: int,
+                      dilation: int, padding: int,
+                      itemsize: int = 2) -> bool:
+    """Gate for the fused path: TPU, 3x3 stride-1 dilation-1 with symmetric
+    padding 1 (zero or reflect ring on the UNpadded input). Width must be
+    lane-tileable and the shape must be one where the measured A/B
+    (PERF.md conv table) beats XLA's conv emitter."""
+    import os
+    if _IN_TRAINING_TRACE and \
+            os.environ.get("COCOSNET_FUSED_CONV_TRAIN", "0") \
+            not in ("1", "true"):
+        return False
+    if not _base_supported(x_shape, kernel_shape, stride=stride,
+                           dilation=dilation, padding=padding,
+                           itemsize=itemsize):
+        return False
+    # measured loss zone (e.g. the 407ch residual stack, 0.92x): large
+    # channel counts that pad heavily on BOTH sides of the GEMM — XLA's
+    # emitter handles the odd channel count without the 128-lane rounding
+    n, h, w, c = x_shape
+    cout = kernel_shape[3]
+    pad_ratio = (_round_up(c, 128) / c) * (_round_up(cout, 128) / cout)
+    if pad_ratio > 1.5 and min(c, cout) >= 256:
+        return False
+    return True
+
+
+def conv3x3_stats_supported(x_shape, kernel_shape, *, stride: int,
+                            dilation: int, padding: int,
+                            itemsize: int = 2) -> bool:
+    """Gate for the conv+instance-stats fusion (inference only: the stats
+    path carries no VJP). Unlike conv3x3_supported it ACCEPTS the heavy
+    pad-ratio shapes (the 407-ch residual stack): the fused stats win back
+    an entire HBM pass over the output, which the 0.92x GEMM rounding
+    penalty does not eat (A/B in PERF.md round 4)."""
+    import os
+    if _IN_TRAINING_TRACE:
+        return False
+    if os.environ.get("COCOSNET_FUSED_CONV_STATS", "1") in ("0", "false"):
+        return False
+    return _base_supported(x_shape, kernel_shape, stride=stride,
+                           dilation=dilation, padding=padding,
+                           itemsize=itemsize)
+
+
+def conv3x3_fused_stats(x: Array, kernel: Array, bias: Array | None, *,
+                        reflect: bool = False, leaky: float | None = None):
+    """Fused conv + per-(sample, channel) spatial moments of the output,
+    computed from the f32 accumulator inside the same kernel pass.
+
+    Returns (out, mean, var) with mean/var f32 of shape (B, 1, 1, Cout)
+    (biased var, matching nn.InstanceNorm2d / norms.instance_norm). The
+    caller applies the normalization — typically fused by XLA into the
+    next op's input read. Inference-only (no custom VJP)."""
+    if bias is None:
+        bias = jnp.zeros((kernel.shape[-1],), jnp.float32)
+    cp = _round_up(x.shape[-1], 128)
+    cout = kernel.shape[-1]
+    cop = _round_up(cout, 128)
+    xq = _pad_input(x, cp, reflect)
+    k3 = _pack_k3(kernel, cp, cop).astype(x.dtype)
+    b2 = jnp.pad(bias.astype(jnp.float32), (0, cop - cout)).reshape(1, cop)
+    out, parts = _conv3x3_pallas(xq, k3, b2, leaky, reflect, want_stats=True)
+    ho, wo = out.shape[1], out.shape[2]
+    if cop != cout:
+        out = out[..., :cout]
+    sums = jnp.sum(parts, axis=1)                      # (B, 2, Cop)
+    n = float(ho * wo)
+    mean = (sums[:, 0, :cout] / n)[:, None, None, :]
+    var = jnp.maximum(sums[:, 1, :cout][:, None, None, :] / n - mean * mean,
+                      0.0)
+    return out, mean, var
 
 
 def conv3x3_fused(x: Array, kernel: Array, bias: Array | None, *,

@@ -154,3 +154,74 @@ def test_reflect_dx_ring_decomposition(shape):
     gr = jax.grad(loss_r)(x)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
                                atol=2e-3, rtol=2e-3)
+
+
+@pytest.mark.parametrize("reflect", [False, True])
+@pytest.mark.parametrize("shape", [
+    (2, 8, 16, 64, 64),     # multi row-block
+    (1, 4, 16, 151, 135),   # channel padding on both sides (407-class shape)
+])
+def test_conv3x3_fused_stats(shape, reflect):
+    """conv3x3_fused_stats == (conv, instance-norm moments of its output):
+    the (sum, sumsq) reduce from the f32 accumulator per row block and are
+    summed across blocks — pin both the output and the moments."""
+    from cocosnet_tpu.ops.pallas_conv import conv3x3_fused_stats
+
+    b_, h, w, ci, co = shape
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.randn(b_, h, w, ci).astype(np.float32))
+    k = jnp.asarray((rs.randn(3, 3, ci, co) * 0.05).astype(np.float32))
+    b = jnp.asarray(rs.randn(co).astype(np.float32))
+    out, mean, var = conv3x3_fused_stats(x, k, b, reflect=reflect)
+    ref = _oracle(x, k, b, reflect)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+    ref32 = np.asarray(ref, np.float64)
+    np.testing.assert_allclose(np.asarray(mean)[:, 0, 0],
+                               ref32.mean(axis=(1, 2)), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(var)[:, 0, 0],
+                               ref32.var(axis=(1, 2)), atol=1e-5, rtol=1e-4)
+
+
+def test_residual_block_stats_path_matches_plain():
+    """ResidualBlock routed through want_stats conv + instance_norm_apply
+    must equal the composed conv -> instance_norm -> PReLU oracle."""
+    from cocosnet_tpu.nn.blocks import ResidualBlock
+    from cocosnet_tpu.nn.layers import Conv2d, PReLU
+    from cocosnet_tpu.nn.norms import instance_norm
+    import flax.linen as fnn
+
+    class PlainBlock(fnn.Module):
+        channels: int
+
+        @fnn.compact
+        def __call__(self, x):
+            prelu = PReLU(name="prelu")
+            out = Conv2d(self.channels, 3, padding=0, reflect_pad=True,
+                         name="conv1")(x)
+            out = prelu(instance_norm(out))
+            out = Conv2d(self.channels, 3, padding=0, reflect_pad=True,
+                         name="conv2")(out)
+            return prelu(instance_norm(out) + x)
+
+    rs = np.random.RandomState(5)
+    x = jnp.asarray(rs.randn(2, 8, 8, 24).astype(np.float32))
+    blk = ResidualBlock(24)
+    variables = blk.init(jax.random.PRNGKey(0), x)
+    got = blk.apply(variables, x)
+    want = PlainBlock(24).apply(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_stats_gate_excludes_training(monkeypatch):
+    from cocosnet_tpu.ops import pallas_conv as pc
+    monkeypatch.setattr(pc, "_is_tpu", lambda: True)
+    args = ((2, 64, 64, 407), (3, 3, 407, 407))
+    kw = dict(stride=1, dilation=1, padding=1)
+    # the heavy pad-ratio shape is ACCEPTED by the stats gate (the fused
+    # statistics win back an HBM pass) but still rejected by the plain gate
+    assert pc.conv3x3_stats_supported(*args, **kw)
+    assert not pc.conv3x3_supported(*args, **kw)
+    with pc.training_trace():
+        assert not pc.conv3x3_stats_supported(*args, **kw)
