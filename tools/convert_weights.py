@@ -67,6 +67,28 @@ def load_vgg_npz(npz_path: str, template: Vars) -> Vars:
     return merge_into(template, out)
 
 
+def convert_vgg_to_npz(pth_path: str, npz_path: str) -> int:
+    """Convert the released vgg19_conv.pth into the assets/vgg19_conv.npz
+    the training/eval tools auto-detect. Returns the array count."""
+    out = convert_vgg(pth_path)
+    flat = {}
+
+    def walk(node, prefix=""):
+        for k, v in node.items():
+            p = f"{prefix}/{k}" if prefix else k
+            if isinstance(v, dict):
+                walk(v, p)
+            else:
+                flat[p] = np.asarray(v)
+
+    walk(out["params"])
+    d = os.path.dirname(npz_path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    np.savez(npz_path, **flat)
+    return len(flat)
+
+
 def convert_generator(pth_path: str, template: Vars = None) -> Vars:
     sd = load_torch_state_dict(pth_path)
     out = convert_torch_module(sd, default_name_map)
@@ -110,21 +132,8 @@ def main():
     ap.add_argument("--out", default="assets/vgg19_conv.npz")
     args = ap.parse_args()
     if args.vgg:
-        out = convert_vgg(args.vgg)
-        flat = {}
-
-        def walk(node, prefix=""):
-            for k, v in node.items():
-                p = f"{prefix}/{k}" if prefix else k
-                if isinstance(v, dict):
-                    walk(v, p)
-                else:
-                    flat[p] = np.asarray(v)
-
-        walk(out["params"])
-        os.makedirs(os.path.dirname(args.out), exist_ok=True)
-        np.savez(args.out, **flat)
-        print(f"wrote {args.out} with {len(flat)} arrays")
+        n = convert_vgg_to_npz(args.vgg, args.out)
+        print(f"wrote {args.out} with {n} arrays")
 
 
 if __name__ == "__main__":
