@@ -148,6 +148,11 @@ class Options:
     compute_dtype: str = "bf16"        # bf16 | f32 matmul/conv compute precision
     use_pallas: bool = True            # fused correlation kernel on TPU
     mesh_data: int = 0                 # 0 = all visible devices on the data axis
+    # spatial-parallel correlation: shard the correlation's query rows over
+    # `model` mesh devices (ops/corr_sp.py). devices = mesh_data * mesh_model;
+    # batchSize must divide the data axis. Requires PONO_C (the flagship
+    # config); the WTA/return_corr explicit-matrix paths stay replicated.
+    mesh_model: int = 1
     ref_table_dir: str = "./data"      # where *_ref*.txt retrieval tables live
     vgg_weights: str = "./assets/vgg19_conv.npz"
     seed: int = 0

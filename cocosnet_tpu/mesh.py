@@ -100,6 +100,28 @@ def create_mesh(data: int = 0, model: int = 1,
     return Mesh(devices, axis_names=("data", "model"))
 
 
+_GLOBAL_MESH: Mesh | None = None
+
+
+def set_global_mesh(mesh: Mesh | None) -> None:
+    """Register the process-wide mesh (set by train.py/test.py/serve after
+    create_mesh). Model code that needs a mesh at trace time — the
+    spatial-parallel correlation's shard_map (ops/corr_sp.attend_sp) —
+    resolves it here, so the Options dataclass stays hashable/serializable
+    (a Mesh can't live in a frozen config)."""
+    global _GLOBAL_MESH
+    _GLOBAL_MESH = mesh
+
+
+def global_mesh(model: int = 1) -> Mesh:
+    """The registered mesh, or a freshly built all-devices mesh with the
+    requested model-axis size (callers outside the CLIs, e.g. tests that
+    jit a bare step with mesh_model>1 and never called set_global_mesh)."""
+    if _GLOBAL_MESH is not None:
+        return _GLOBAL_MESH
+    return create_mesh(model=model)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dim over the data axis."""
     return NamedSharding(mesh, P("data"))

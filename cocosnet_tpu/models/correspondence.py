@@ -224,6 +224,16 @@ class CorrespondenceNet(nn.Module):
                          and shift9_supported(fh, fw, 256))
 
             def _attend_nomat(q_feat, k_feat, v):
+                if opt.mesh_model > 1:
+                    # spatial-parallel: query rows sharded over the mesh's
+                    # `model` axis (keys all-gathered over ICI, ppermute
+                    # halos) — the product form of ops/corr_sp.py
+                    from cocosnet_tpu.ops.corr_sp import attend_sp
+                    return attend_sp(q_feat, k_feat, v, temperature,
+                                     match_kernel=opt.match_kernel,
+                                     pono_c=opt.PONO_C,
+                                     use_pallas=opt.use_pallas,
+                                     model=opt.mesh_model)
                 if use_fused:
                     return attend_shift9(q_feat, k_feat, v, temperature,
                                          opt.PONO_C)
@@ -235,6 +245,31 @@ class CorrespondenceNet(nn.Module):
 
             def col_attend(v):
                 return _attend_nomat(y_phi, y_theta, v)
+        elif opt.mesh_model > 1 and opt.PONO_C:
+            # match_kernel=1 spatial-parallel: the unfold-SP path with k=1
+            # reproduces _descriptor's PONO_C centering + L2 normalization
+            # from box statistics (tests/test_mesh_model.py), so the raw
+            # theta/phi conv outputs go straight into the sharded attend
+            y_theta = Conv2d(256, 1, padding=0, name="theta")(cont_features)
+            y_phi = Conv2d(256, 1, padding=0, name="phi")(ref_features)
+            y_theta = y_theta.astype(jnp.float32)
+            y_phi = y_phi.astype(jnp.float32)
+            if detach_flag:
+                y_theta = jax.lax.stop_gradient(y_theta)
+                y_phi = jax.lax.stop_gradient(y_phi)
+            from cocosnet_tpu.ops.corr_sp import attend_sp
+
+            def row_attend(v):
+                return attend_sp(y_theta, y_phi, v, temperature,
+                                 match_kernel=1, pono_c=True,
+                                 use_pallas=opt.use_pallas,
+                                 model=opt.mesh_model)
+
+            def col_attend(v):
+                return attend_sp(y_phi, y_theta, v, temperature,
+                                 match_kernel=1, pono_c=True,
+                                 use_pallas=opt.use_pallas,
+                                 model=opt.mesh_model)
         else:
             theta = self._descriptor(cont_features, "theta")   # (B, N, C')
             phi = self._descriptor(ref_features, "phi")        # (B, N, C')

@@ -40,6 +40,8 @@ def _halo_rows(x: Array, p: int, axis_name: str) -> Array:
     """Extend (B, Hl, W, C) with p rows from the previous/next shard along
     `axis_name`. Edge devices receive zeros from ppermute's unmatched
     slots — identical to the unfold's zero padding of the global image."""
+    if p == 0:  # match_kernel=1: no neighbour rows needed
+        return x
     n = jax.lax.axis_size(axis_name)
     if n == 1:
         return jnp.pad(x, ((0, 0), (p, p), (0, 0), (0, 0)))
@@ -154,6 +156,58 @@ def attend_unfold_sp(f_shard: Array, g_shard: Array, v_shard: Array,
 
     out = jax.lax.map(body, (f_rows, qmu_rows, qn_rows))
     return jnp.moveaxis(out, 0, 1).reshape(b, hl * w, v_full.shape[-1])
+
+
+def attend_sp(q_feat: Array, k_feat: Array, v: Array, tau: float,
+              mesh=None, match_kernel: int = 3, pono_c: bool = True,
+              use_pallas: bool = True, model: int = 0) -> Array:
+    """Product entry point: spatial-parallel attend on GLOBAL arrays.
+
+    Shards the query rows (and the value rows) of the match_kernel-unfold
+    correlation over the mesh's `model` axis via shard_map, composing with
+    `data`-axis batch sharding; keys are all-gathered inside. This is what
+    CorrespondenceNet dispatches to when opt.mesh_model > 1 — the user-facing
+    form of the reference's quadratic object (correspondence.py:291-307)
+    sharded over chips at 512px+.
+
+    q_feat/k_feat: (B, H, W, C) feature maps (theta/phi conv outputs);
+    v: (B, H*W, D) value rows. Returns (B, H*W, D), numerically matching
+    the single-device attend_unfold/attend_shift9 (tests/test_corr_sp.py,
+    tests/test_mesh_model.py). Requires PONO_C and H % model == 0.
+    """
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as PS
+
+    from cocosnet_tpu import mesh as M
+
+    if not pono_c:
+        raise NotImplementedError(
+            "spatial-parallel correlation implements PONO_C centering (the "
+            "flagship config); run replicated for spatial centering")
+    # `model` sizes the fallback all-devices mesh when no global mesh was
+    # registered (bare jit callers, e.g. tests); a registered mesh wins
+    mesh = mesh if mesh is not None else M.global_mesh(model=max(model, 1))
+    m = int(mesh.shape.get("model", 1))
+    b, h, w, c = q_feat.shape
+    if h % m != 0:
+        raise ValueError(f"feature rows H={h} must divide the model axis {m}")
+    hl = h // m
+    use_fused = (use_pallas and match_kernel == 3
+                 and jax.default_backend() == "tpu"
+                 and shift9_sp_supported(hl, w, c))
+    if use_fused:
+        fn = partial(attend_shift9_sp, tau=tau, axis_name="model",
+                     pono_c=pono_c)
+    else:
+        fn = partial(attend_unfold_sp, tau=tau, axis_name="model",
+                     match_kernel=match_kernel, pono_c=pono_c)
+    spec4 = PS("data", "model", None, None)
+    spec3 = PS("data", "model", None)
+    mapped = shard_map(fn, mesh=mesh, in_specs=(spec4, spec4, spec3),
+                       out_specs=spec3, check_vma=False)
+    return mapped(q_feat, k_feat, v)
 
 
 def shift9_sp_supported(hl: int, w: int, c: int) -> bool:

@@ -58,6 +58,17 @@ def main():
             f"torch {opt.which_epoch}_net_G/Corr.pth). Pass "
             f"--allow_random_weights to run with random weights anyway.")
 
+    mesh = None
+    if opt.mesh_model > 1 or opt.mesh_data > 1:
+        # spatial-parallel inference: the correlation's query rows shard over
+        # the mesh's `model` axis inside the jitted step (ops/corr_sp.py);
+        # the batch shards over `data`
+        from cocosnet_tpu import mesh as M
+        mesh = M.create_mesh(data=opt.mesh_data, model=opt.mesh_model)
+        M.set_global_mesh(mesh)
+        print(f"mesh: {mesh}")
+        variables = jax.device_put(variables, M.replicated(mesh))
+
     inference_step = make_inference_step(nets)
     save_root = os.path.join(os.path.dirname(opt.checkpoints_dir), "output")
     if opt.output_dir != "./output":
@@ -71,6 +82,9 @@ def main():
         if i * opt.batchSize >= opt.how_many:
             break
         arrays = {k: v for k, v in batch.items() if not isinstance(v, list)}
+        if mesh is not None:
+            from cocosnet_tpu import mesh as M
+            arrays = M.shard_batch(mesh, arrays)
         paths = batch["path"]
         # fresh per-batch noise, matching the reference's fresh torch.randn
         # at eval (correspondence.py:262-264)

@@ -58,7 +58,8 @@ def main():
     dataloader = create_dataloader(opt)
     progress = TrainProgress(opt, len(dataloader.dataset))
 
-    mesh = M.create_mesh(data=opt.mesh_data)
+    mesh = M.create_mesh(data=opt.mesh_data, model=opt.mesh_model)
+    M.set_global_mesh(mesh)  # corr_sp.attend_sp resolves it at trace time
     print(f"mesh: {mesh}")
 
     nets = P.Pix2PixNets(opt)
