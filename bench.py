@@ -236,6 +236,8 @@ def _probe_device(timeout_s: int = 180) -> bool:
 
 
 def main():
+    from cocosnet_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     if not _probe_device():
         print(json.dumps({
             "metric": "ade20k_256px_exemplar_translation_inference",

@@ -107,6 +107,9 @@ def main():
     import jax
     import jax.numpy as jnp
     from cocosnet_tpu import pix2pix as P
+
+    from cocosnet_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from cocosnet_tpu.nn import layers as L
 
     L.set_compute_dtype(jnp.bfloat16)

@@ -27,6 +27,8 @@ def main():
     opt = parse_options(is_train=True)
 
     import jax
+    from cocosnet_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     if opt.platform:
         jax.config.update("jax_platforms", opt.platform)
     from cocosnet_tpu import mesh as M0
