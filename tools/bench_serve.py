@@ -127,7 +127,31 @@ def main():
                 raise SystemExit("warmup timeout (compile too slow?)")
             time.sleep(0.1)
 
-        # measured phase
+        # measured phase. Completions are timestamped by a CONCURRENT
+        # collector thread — detecting them only after the arrival loop
+        # would inflate a fixed-rate run's latencies by up to the whole
+        # arrival window (the round-4 serve numbers caught exactly that).
+        lat = {}
+        t_end_holder = {}
+        stop = threading.Event()
+
+        def _collect():
+            pending = {f"r{i:04d}" for i in range(args.n_requests)}
+            while pending and not stop.is_set():
+                done = set()
+                for rid in pending:
+                    if rid in t_sent and os.path.exists(
+                            os.path.join(out, rid + ".png")):
+                        lat[rid] = time.perf_counter() - t_sent[rid]
+                        done.add(rid)
+                pending -= done
+                if done:
+                    t_end_holder["t"] = time.perf_counter()
+                time.sleep(0.02)
+
+        collector = threading.Thread(target=_collect, daemon=True)
+        collector.start()
+
         period = 1.0 / args.arrival_rate if args.arrival_rate > 0 else 0.0
         t_start = time.perf_counter()
         for i in range(args.n_requests):
@@ -139,7 +163,6 @@ def main():
                 next_t = t_start + (i + 1) * period
                 time.sleep(max(0.0, next_t - time.perf_counter()))
 
-        lat = {}
         deadline = time.perf_counter() + args.timeout_s
         while len(lat) < args.n_requests:
             if proc.poll() is not None:
@@ -148,13 +171,9 @@ def main():
             if time.perf_counter() > deadline:
                 raise SystemExit(f"timeout with {len(lat)} done")
             outputs_done("r", args.n_requests)  # raises on any error file
-            for i in range(args.n_requests):
-                rid = f"r{i:04d}"
-                p = os.path.join(out, rid + ".png")
-                if rid not in lat and os.path.exists(p):
-                    lat[rid] = time.perf_counter() - t_sent[rid]
-            time.sleep(0.02)
-        t_end = time.perf_counter()
+            time.sleep(0.05)
+        stop.set()
+        t_end = t_end_holder.get("t", time.perf_counter())
     finally:
         proc.send_signal(signal.SIGTERM)
         try:

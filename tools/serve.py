@@ -114,6 +114,9 @@ def main():
 
     import jax
     import jax.numpy as jnp
+
+    from cocosnet_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     if opt.platform:
         jax.config.update("jax_platforms", opt.platform)
     from cocosnet_tpu.nn import layers as L
