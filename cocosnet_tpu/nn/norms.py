@@ -175,14 +175,21 @@ class NormConv(nn.Module):
             weight_norm = "equal_lr" if self.eqlr_sn else "spectral"
             norm_str = norm_str[len("spectral"):]
         has_subnorm = norm_str not in ("", "none")
-        y = Conv2d(self.features, self.kernel_size, stride=self.stride,
-                   padding=self.padding, dilation=self.dilation,
-                   use_bias=not has_subnorm, weight_norm=weight_norm,
-                   name="conv")(x)
+        conv = Conv2d(self.features, self.kernel_size, stride=self.stride,
+                      padding=self.padding, dilation=self.dilation,
+                      use_bias=not has_subnorm, weight_norm=weight_norm,
+                      name="conv")
         if norm_str == "instance":
-            y = instance_norm(y)
+            # conv + IN moments in one kernel pass where supported
+            # (ops/pallas_conv.conv3x3_fused_stats); jnp moments of the
+            # conv output elsewhere — identical math to instance_norm
+            y, mean, var = conv(x, want_stats=True)
+            y = instance_norm_apply(y, mean, var)
         elif norm_str in ("batch", "sync_batch"):
+            y = conv(x)
             y = BatchNorm(self.features, affine=True, name="norm")(y, train)
         elif has_subnorm:
             raise ValueError(f"normalization layer {norm_str} is not recognized")
+        else:
+            y = conv(x)
         return y
