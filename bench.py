@@ -101,7 +101,8 @@ def bench_tpu() -> float:
     return BATCH / dt
 
 
-def bench_train(batch: int = 4, steps: int = 6, remat: bool = False):
+def bench_train(batch: int = 4, steps: int = 6, remat: bool = False,
+                remat_policy: str = "block"):
     """Training throughput: the fused G+D step (all 11 loss terms, TTUR,
     EMA, spectral norm) on the flagship ade20k config. Returns
     (img/s/chip, s/step). Steps chain through the donated TrainState so the
@@ -116,6 +117,7 @@ def bench_train(batch: int = 4, steps: int = 6, remat: bool = False):
 
     L.set_compute_dtype(jnp.bfloat16)
     opt = _opt().replace(isTrain=True, batchSize=batch, remat=remat,
+                         remat_policy=remat_policy,
                          use_ema=True, weight_mask=100.0)
     nets = P.Pix2PixNets(opt)
     rs = np.random.RandomState(0)

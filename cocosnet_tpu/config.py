@@ -162,6 +162,16 @@ class Options:
     profile_dir: str = ""              # jax.profiler trace output (train)
     remat: bool = False                # per-SPADE-block + VGG remat (2x batch)
     remat_full: bool = False           # additionally checkpoint the whole G forward
+    # what the per-SPADE-block remat saves across the backward:
+    #   block      — only block inputs (max recompute, min memory)
+    #   conv       — every conv output (backward recomputes only the
+    #                elementwise/normalization chains)
+    #   conv_small — conv outputs at <=64x64 spatial only (the MXU-heavy
+    #                deep stacks); high-res convs recompute
+    # default conv_small: wins the batch-8 256px A/B on v5e 16GB
+    # (18.09 vs 17.21 block vs 16.18 conv img/s, PERF.md round-4) and
+    # fits the same per-chip batch
+    remat_policy: str = "conv_small"
     # multi-host launch (jax.distributed): --distributed on each host; on TPU
     # pods the coordinator/process args auto-detect, elsewhere pass all three
     distributed: bool = False

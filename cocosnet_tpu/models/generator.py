@@ -37,6 +37,24 @@ def spade_config_str(opt: Options) -> str:
     return opt.norm_G.replace("spectral", "")
 
 
+def remat_policy(opt: Options):
+    """jax.checkpoint policy for the per-SPADE-block remat (--remat_policy).
+
+    `block` (default) saves only block inputs — the reference-parity memory
+    floor. `conv`/`conv_small` save conv outputs tagged by nn.layers.conv2d
+    (checkpoint_name), so the backward recomputes only elementwise/norm
+    chains instead of re-running every conv on the MXU — less recompute at
+    the price of keeping (some) conv activations live."""
+    if opt.remat_policy in ("block", "", None):
+        return None
+    if opt.remat_policy == "conv":
+        return jax.checkpoint_policies.save_only_these_names(
+            "conv_small", "conv_large")
+    if opt.remat_policy == "conv_small":
+        return jax.checkpoint_policies.save_only_these_names("conv_small")
+    raise ValueError(f"unknown --remat_policy {opt.remat_policy!r}")
+
+
 def cbn_channels(opt: Options) -> int:
     """Channels of the SPADE conditioning input per --CBN_intype
     (generator.py:30, architecture.py:58)."""
@@ -72,8 +90,10 @@ class SPADEGenerator(nn.Module):
         # --remat: rematerialize each SPADE block in the backward pass (only
         # block boundaries are saved). Much cheaper than checkpointing the
         # whole G forward: the conditioning-map resizes + 2-3 convs per block
-        # are recomputed, the correlation is not.
-        Block = (nn.remat(SPADEResnetBlock, static_argnums=(2,))
+        # are recomputed, the correlation is not. --remat_policy relaxes
+        # what is saved inside each block.
+        Block = (nn.remat(SPADEResnetBlock, static_argnums=(2,),
+                          policy=remat_policy(opt))
                  if opt.remat else SPADEResnetBlock)
 
         def block(fin, fout, name):
@@ -136,7 +156,8 @@ class AdaptiveFeatureGenerator(nn.Module):
             h = nconv(ndf * 8, ak, 2, "layer4")(leaky_relu(h), train)
         h = nconv(ndf * 8, kw, 1, "layer5")(leaky_relu(h), train)
 
-        Block = (nn.remat(SPADEResnetBlock, static_argnums=(2,))
+        Block = (nn.remat(SPADEResnetBlock, static_argnums=(2,),
+                          policy=remat_policy(opt))
                  if opt.remat else SPADEResnetBlock)
 
         def block(fin, fout, name, use_se=False, dilation=1):

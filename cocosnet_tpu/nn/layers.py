@@ -85,6 +85,15 @@ def conv2d(x: Array, kernel: Array, bias: Optional[Array] = None, *,
         kernel = kernel.astype(compute_dtype)
     if reflect:
         assert padding == 0 and stride == 1
+
+    def _tag(y):
+        # checkpoint_name is inert outside a jax.checkpoint(policy=...)
+        # scope; under --remat_policy conv/conv_small the per-SPADE-block
+        # remat saves these outputs instead of recomputing every conv in
+        # the backward pass (see models/generator.py::remat_policy)
+        from jax.ad_checkpoint import checkpoint_name
+        name = "conv_small" if y.shape[1] * y.shape[2] <= 4096 else "conv_large"
+        return checkpoint_name(y, name)
     from cocosnet_tpu.ops.pallas_conv import (conv3x3_fused,
                                               conv3x3_fused_stats,
                                               conv3x3_stats_supported,
@@ -96,14 +105,15 @@ def conv2d(x: Array, kernel: Array, bias: Optional[Array] = None, *,
         # conv + instance-norm moments in ONE kernel pass (inference): the
         # (sum, sumsq) reduce from the f32 accumulator per row block, so no
         # second HBM pass over the output computes the statistics
-        return conv3x3_fused_stats(x, kernel, bias, reflect=reflect)
+        y, mean, var = conv3x3_fused_stats(x, kernel, bias, reflect=reflect)
+        return _tag(y), mean, var
     if want_stats:
         # stats fusion unavailable (training trace / shape / backend):
         # run the best conv path, then jnp statistics — identical math to
         # norms.instance_norm on the materialized output, differentiable
         y = conv2d(x, kernel, bias, stride=stride, padding=padding,
                    dilation=dilation, compute_dtype=compute_dtype,
-                   reflect=reflect, want_stats=False)
+                   reflect=reflect, want_stats=False)  # inner call tags y
         y32 = y.astype(jnp.float32)
         mean = jnp.mean(y32, axis=(1, 2), keepdims=True)
         var = jnp.var(y32, axis=(1, 2), keepdims=True)
@@ -115,7 +125,7 @@ def conv2d(x: Array, kernel: Array, bias: Optional[Array] = None, *,
         # fused implicit-GEMM kernel (ops/pallas_conv.py): same math, f32
         # accumulation; bias adds pre-rounding (one fewer bf16 round); a
         # reflect ring realizes inside VMEM instead of a padded HBM copy
-        return conv3x3_fused(x, kernel, bias, reflect=reflect)
+        return _tag(conv3x3_fused(x, kernel, bias, reflect=reflect))
     if reflect:
         x = reflect_pad_2d(x, dilation * (kernel.shape[0] - 1) // 2)
     y = jax.lax.conv_general_dilated(
@@ -127,7 +137,7 @@ def conv2d(x: Array, kernel: Array, bias: Optional[Array] = None, *,
     )
     if bias is not None:
         y = y + bias.astype(y.dtype)
-    return y
+    return _tag(y)
 
 
 def _l2_normalize(v: Array, eps: float = 1e-12) -> Array:

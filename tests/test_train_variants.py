@@ -88,6 +88,21 @@ def test_remat_training_step():
     assert "GAN" in m and "mask" in m
 
 
+def test_remat_policy_conv_matches_block():
+    """--remat_policy conv/conv_small only change what the per-block remat
+    saves (conv outputs tagged via checkpoint_name) — pure scheduling, so
+    every loss term must match the default block policy."""
+    kw = dict(maskmix=True, warp_mask_losstype="direct", weight_mask=10.0,
+              remat=True)
+    ref = _run_one_step(**kw)
+    for policy in ("conv", "conv_small"):
+        m = _run_one_step(remat_policy=policy, **kw)
+        assert set(m) == set(ref)
+        for k in ref:
+            assert np.isclose(m[k], ref[k], rtol=2e-4, atol=1e-5), \
+                (policy, k, m[k], ref[k])
+
+
 def test_eqlr_coordconv_adaptor_extras():
     """equalized-lr weight norm + coordconv + deeper/dilated/SE/nonlocal
     adaptor + ls GAN (base_options.py:74,84-88)."""
