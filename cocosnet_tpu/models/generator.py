@@ -40,11 +40,13 @@ def spade_config_str(opt: Options) -> str:
 def remat_policy(opt: Options):
     """jax.checkpoint policy for the per-SPADE-block remat (--remat_policy).
 
-    `block` (default) saves only block inputs — the reference-parity memory
-    floor. `conv`/`conv_small` save conv outputs tagged by nn.layers.conv2d
+    `block` saves only block inputs — the reference-parity memory floor.
+    `conv`/`conv_small` save conv outputs tagged by nn.layers.conv2d
     (checkpoint_name), so the backward recomputes only elementwise/norm
     chains instead of re-running every conv on the MXU — less recompute at
-    the price of keeping (some) conv activations live."""
+    the price of keeping (some) conv activations live. The config default
+    is `conv_small` (config.py Options.remat_policy): +5% train throughput
+    over `block` at batch 12 --remat, measured round 4."""
     if opt.remat_policy in ("block", "", None):
         return None
     if opt.remat_policy == "conv":

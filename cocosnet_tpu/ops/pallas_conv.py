@@ -435,6 +435,11 @@ def conv3x3_fused_stats(x: Array, kernel: Array, bias: Array | None, *,
     sums = jnp.sum(parts, axis=1)                      # (B, 2, Cop)
     n = float(ho * wo)
     mean = (sums[:, 0, :cout] / n)[:, None, None, :]
+    # Single-pass E[x^2]-E[x]^2 in f32: loses ~log2(mean^2/var) bits of the
+    # variance when |mean| >> std (clamped at 0, so worst case is an
+    # over-amplified normalize, never NaN). Fine at this net's activation
+    # scales / test tolerances; switch to centered two-pass sums if a
+    # fidelity regression ever appears on real weights.
     var = jnp.maximum(sums[:, 1, :cout][:, None, None, :] / n - mean * mean,
                       0.0)
     return out, mean, var

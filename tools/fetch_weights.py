@@ -123,6 +123,11 @@ def try_gdown(missing, dl_dir: str) -> None:
         return
     os.makedirs(dl_dir, exist_ok=True)
     import gdown
+    print("WARNING: the Drive IDs below come from the untrusted reference "
+          "README and no pinned digests exist for the released archives — "
+          "downloaded .pth files are pickle-deserialized by torch.load at "
+          "conversion time. Verify the printed sha256 against a trusted "
+          "source before installing, or convert in a sandbox.")
     for item in missing:
         fid = DRIVE[item]
         try:
