@@ -64,6 +64,38 @@ def reflect_pad_2d(x: Array, pad: int) -> Array:
     return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
 
 
+class OneHotLabels:
+    """Lazy one_hot(labels, n_classes): a duck-typed stand-in for a dense
+    (B, H, W, C) one-hot activation. PROFILE.md pins the seg adaptor's first
+    conv as HBM-bound reading a 118 MB bf16 one-hot that is informationally
+    a 1.5 MB label map; passing this wrapper instead lets conv2d route into
+    the Pallas gather-conv (ops/pallas_conv.conv3x3_onehot — the one-hot
+    expands in VMEM, never in HBM). Every other consumer densifies via
+    .dense(), which matches pix2pix.preprocess_input's scatter exactly.
+    Matches /root/reference/models/pix2pix_model.py:176-187 feeding
+    generator.py:101-118."""
+
+    def __init__(self, labels: Array, n_classes: int, dtype=jnp.float32):
+        self.labels = labels          # (B, H, W) int
+        self.n_classes = n_classes
+        self.dtype = dtype
+
+    @property
+    def shape(self):
+        b, h, w = self.labels.shape
+        return (b, h, w, self.n_classes)
+
+    @property
+    def ndim(self):
+        return 4
+
+    def astype(self, dt):
+        return OneHotLabels(self.labels, self.n_classes, dt)
+
+    def dense(self) -> Array:
+        return jax.nn.one_hot(self.labels, self.n_classes, dtype=self.dtype)
+
+
 def conv2d(x: Array, kernel: Array, bias: Optional[Array] = None, *,
            stride: int = 1, padding: int = 0, dilation: int = 1,
            compute_dtype=None, reflect: bool = False,
@@ -94,6 +126,24 @@ def conv2d(x: Array, kernel: Array, bias: Optional[Array] = None, *,
         from jax.ad_checkpoint import checkpoint_name
         name = "conv_small" if y.shape[1] * y.shape[2] <= 4096 else "conv_large"
         return checkpoint_name(y, name)
+    if isinstance(x, OneHotLabels):
+        from cocosnet_tpu.ops.pallas_conv import (conv3x3_onehot,
+                                                  conv3x3_onehot_supported)
+        if (tuple(kernel.shape[:2]) == (3, 3) and stride == 1
+                and dilation == 1 and padding == 1 and not reflect
+                and conv3x3_onehot_supported(
+                    x.labels.shape, x.n_classes, kernel.shape[-1],
+                    itemsize=jnp.dtype(x.dtype).itemsize)):
+            if want_stats:
+                y, mean, var = conv3x3_onehot(x.labels, kernel, bias,
+                                              dtype=x.dtype, want_stats=True)
+                return _tag(y), mean, var
+            return _tag(conv3x3_onehot(x.labels, kernel, bias, dtype=x.dtype))
+        # unsupported shape / backend / training trace: materialize and take
+        # the ordinary dispatch below (identical semantics by construction)
+        return conv2d(x.dense(), kernel, bias, stride=stride, padding=padding,
+                      dilation=dilation, compute_dtype=compute_dtype,
+                      reflect=reflect, want_stats=want_stats)
     from cocosnet_tpu.ops.pallas_conv import (conv3x3_fused,
                                               conv3x3_fused_stats,
                                               conv3x3_stats_supported,
@@ -126,6 +176,19 @@ def conv2d(x: Array, kernel: Array, bias: Optional[Array] = None, *,
         # accumulation; bias adds pre-rounding (one fewer bf16 round); a
         # reflect ring realizes inside VMEM instead of a padded HBM copy
         return _tag(conv3x3_fused(x, kernel, bias, reflect=reflect))
+    from cocosnet_tpu.ops import pallas_conv as PC
+    if (PC._IN_TRAINING_TRACE and tuple(kernel.shape[:2]) == (3, 3)
+            and stride == 1 and dilation == 1
+            and (reflect or padding == 1)
+            and PC.conv3x3_dw_supported(
+                x.shape, kernel.shape, reflect=reflect,
+                itemsize=jnp.dtype(x.dtype).itemsize)):
+        # training: forward + dL/dx are the SAME XLA ops as the plain path
+        # below (fusions untouched); only dL/dW + dL/db take the Pallas dW
+        # kernel — the G-backward bound PROFILE_TRAIN.md pins at ~39% MFU
+        b = bias if bias is not None else \
+            jnp.zeros((kernel.shape[-1],), jnp.float32)
+        return _tag(PC.conv3x3_xla_pdw(x, kernel, b, reflect))
     if reflect:
         x = reflect_pad_2d(x, dilation * (kernel.shape[0] - 1) // 2)
     y = jax.lax.conv_general_dilated(

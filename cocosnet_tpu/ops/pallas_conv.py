@@ -127,6 +127,15 @@ def _conv_kernel(r, wo, cp, cot, nh, leaky, reflect_w, want_stats,
         x = slab[step % 2]                   # (R+2, W, Cp)
         x3_s[:] = jnp.concatenate([x[0:r], x[1:r + 1], x[2:r + 2]], axis=-1)
 
+    _mxu_tail(x3_s, k3_ref, b_ref, out_ref,
+              stats_ref if want_stats else None,
+              r, wo, cp, cot, leaky, reflect_w)
+
+
+def _mxu_tail(x3_s, k3_ref, b_ref, out_ref, stats_ref,
+              r, wo, cp, cot, leaky, reflect_w):
+    """Shared epilogue of the fused conv kernels: 3 dx-tap MXU dots against
+    the packed weights + bias + optional LeakyReLU + optional IN moments."""
     x3 = x3_s[:]
 
     def tap(dx):
@@ -153,7 +162,7 @@ def _conv_kernel(r, wo, cp, cot, nh, leaky, reflect_w, want_stats,
     acc = acc + b_ref[:].astype(jnp.float32)
     if leaky is not None:
         acc = jnp.where(acc >= 0, acc, leaky * acc)
-    if want_stats:
+    if stats_ref is not None:
         # per-(sample, channel) partial moments of THIS row block, f32 from
         # the accumulator (pre-rounding) — summed over row blocks outside;
         # feeds instance norm without a second HBM pass over the output
@@ -316,6 +325,249 @@ def _bwd(reflect, leaky, res, g):
 _conv3x3.defvjp(_fwd, _bwd)
 
 
+# --------------------------------------------------------------------------
+# Training dW kernel: Pallas weight-gradient for the 3x3 stride-1 stacks.
+#
+# PROFILE_TRAIN.md (round 4) pins the G backward at ~39% MFU and names the
+# cause: XLA computes dL/dW as a patch correlation whose GEMM contracts over
+# the batch dim (8 rows) — the MXU starves. This kernel folds the batch AND
+# spatial dims into one long contraction: with the same overlapping row-slab
+# DMA and in-VMEM 3-tap construction as the forward,
+#
+#   dW_packed[dx] = tap(dx)^T @ g        (3Cp, R*W) x (R*W, Cot)
+#
+# accumulated over a (cout-tile, batch, row-block) grid into a VMEM-resident
+# f32 output block (K per step = R*W >= 1024 rows). The packed layout is
+# exactly _pack_k3's, so unpacking is a reshape+transpose; db rides along
+# from the g block already in VMEM. Wired into training via
+# conv3x3_xla_pdw: the forward stays the UNTOUCHED XLA conv (round 4's A/B
+# showed replacing it severs XLA's fusions and loses), dx stays XLA's own
+# transposed conv via jax.linear_transpose, and only dW/db route here.
+# Matches the hot training loop of /root/reference/trainers/
+# pix2pix_trainer.py:52-62 + models/networks/architecture.py:40-51.
+# --------------------------------------------------------------------------
+
+
+def _pick_tiles_dw(ho: int, wo: int, cp: int, cop: int, itemsize: int):
+    """(rows per block, cout tile) for the dW kernel. The f32 accumulator
+    block (3, 3Cp, Cot) lives in VMEM for a whole cout-tile sweep; prefer
+    the largest Cot that fits (x is re-fetched once per cout tile)."""
+    def vmem(rr, ct):
+        return (2 * (rr + 2) * wo * cp * itemsize    # x slabs (2 buffers)
+                + rr * wo * 3 * cp * itemsize        # x3 scratch
+                + rr * wo * 3 * cp * itemsize        # one shifted tap temp
+                + 2 * rr * wo * ct * itemsize        # g blocks (piped)
+                + 3 * 3 * cp * ct * 4                # dw f32 block
+                + ct * 4)                            # db
+
+    m = cop // 128
+    cot_divs = [128 * d for d in range(m, 0, -1) if m % d == 0]
+    r = min(max(1, 1024 // wo), ho)
+    while ho % r != 0:
+        r -= 1
+    for ct in cot_divs:
+        rr = r
+        while rr >= 1 and vmem(rr, ct) > _BUDGET:
+            rr -= 1
+            while rr > 1 and ho % rr != 0:
+                rr -= 1
+        if rr >= 1 and vmem(rr, ct) <= _BUDGET:
+            return rr, ct
+    return None
+
+
+def _dw_kernel(r, wo, cp, cot, nh, nb, reflect_w,
+               xq_hbm, g_ref, dw_ref, db_ref, slab, x3_s, sem):
+    j = pl.program_id(0)
+    ib = pl.program_id(1)
+    ih = pl.program_id(2)
+    step = ib * nh + ih
+    nsteps = nb * nh
+
+    def fetch(s):
+        b = s // nh
+        h = s % nh
+        return pltpu.make_async_copy(
+            xq_hbm.at[b, pl.ds(h * r, r + 2)],
+            slab.at[s % 2],
+            sem.at[s % 2],
+        )
+
+    @pl.when(step == 0)
+    def _():
+        fetch(0).start()
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    @pl.when(step + 1 < nsteps)
+    def _():
+        fetch(step + 1).start()
+    fetch(step).wait()
+    x = slab[step % 2]                   # (R+2, W, Cp)
+    x3_s[:] = jnp.concatenate([x[0:r], x[1:r + 1], x[2:r + 2]], axis=-1)
+    x3 = x3_s[:]
+
+    def tap(dx):
+        if dx == 1:
+            return x3
+        if reflect_w:
+            left = x3[:, 1:2]
+            right = x3[:, wo - 2:wo - 1]
+        else:
+            left = jnp.zeros_like(x3[:, :1])
+            right = jnp.zeros_like(x3[:, :1])
+        if dx == 0:
+            return jnp.concatenate([left, x3[:, :wo - 1]], axis=1)
+        return jnp.concatenate([x3[:, 1:], right], axis=1)
+
+    gr = g_ref[0].reshape(r * wo, cot)
+    for dx in range(3):
+        dw_ref[dx] += jax.lax.dot_general(
+            tap(dx).reshape(r * wo, 3 * cp), gr,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    db_ref[0, :] += jnp.sum(gr.astype(jnp.float32), axis=0)
+
+
+def conv3x3_dw(x: Array, g: Array, *, reflect: bool = False):
+    """Weight+bias gradient of a 3x3 stride-1 'SAME' conv (zero or reflect
+    ring): returns (dw HWIO f32 (3,3,Cin,Cout), db f32 (Cout,)) for
+    upstream cotangent g (B,H,W,Cout). Exact adjoint of the forward —
+    dW_packed[dx] = tap(dx)^T g with the same tap construction, so the
+    padded operand values (zero columns / reflected columns) contribute
+    exactly as the forward consumed them."""
+    cin, cout = x.shape[-1], g.shape[-1]
+    cp = _round_up(cin, 128)
+    cop = _round_up(cout, 128)
+    xq = _pad_input(x, cp, reflect)
+    if cop != cout:
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, cop - cout)))
+    b, hq, wo, _ = xq.shape
+    ho = hq - 2
+    tiles = _pick_tiles_dw(ho, wo, cp, cop, jnp.dtype(x.dtype).itemsize)
+    assert tiles is not None, "conv3x3_dw_supported must gate infeasible shapes"
+    r, cot = tiles
+    nh = ho // r
+    nc = cop // cot
+
+    dwp, db = pl.pallas_call(
+        functools.partial(_dw_kernel, r, wo, cp, cot, nh, b, reflect),
+        grid=(nc, b, nh),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),          # xq stays in HBM
+            pl.BlockSpec((1, r, wo, cot), lambda j, ib, ih: (ib, ih, 0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((3, 3 * cp, cot), lambda j, ib, ih: (0, 0, j)),
+            pl.BlockSpec((1, cot), lambda j, ib, ih: (0, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, 3 * cp, cop), jnp.float32),
+            jax.ShapeDtypeStruct((1, cop), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, r + 2, wo, cp), x.dtype),
+            pltpu.VMEM((r, wo, 3 * cp), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=not _is_tpu(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * ho * wo * 9 * cp * cop,
+            bytes_accessed=(nc * b * hq * wo * cp * 2
+                            + b * ho * wo * cop * 2
+                            + 9 * cp * cop * 4),
+            transcendentals=0,
+        ),
+    )(xq, g)
+    # invert _pack_k3: (3:dx, 3Cp:(dy,c), Cop) -> HWIO (dy, dx, Cin, Cout)
+    dw = dwp.reshape(3, 3, cp, cop)[:, :, :cin, :cout]
+    dw = jnp.transpose(dw, (1, 0, 2, 3))
+    return dw, db[0, :cout]
+
+
+# Shapes where the Pallas dW kernel BEATS XLA's weight-gradient conv on the
+# real chip — the round-5 per-layer A/B (tools/ab_dw.py, batch 8, committed
+# at artifacts/ab_dw/ab_dw_r5.log). Keyed (H, W, Cin, Cout, reflect).
+# Routing every feasible shape lost end-to-end (15.99 vs 19.34 img/s): the
+# kernel wins where Cout is wide and the f32 accumulator sweep amortizes
+# (128->512 1.33x, 512->512 1.40x, 128->256 2.32x) but loses badly on
+# odd-channel (151/407) and high-res low-channel shapes where XLA's patch
+# correlation is already near roofline. Winners only: 96.0 -> 82.7 ms of dW
+# per G backward (1.16x).
+_DW_WINNERS = frozenset({
+    (64, 64, 128, 512, True),    # 1.33x, 40 calls/step
+    (64, 64, 512, 512, True),    # 1.40x, 12
+    (64, 64, 128, 256, True),    # 2.32x, 8
+    (64, 64, 256, 256, True),    # 1.34x, 4
+    (64, 64, 154, 128, True),    # 1.08x, 3
+    (128, 128, 154, 128, True),  # 1.14x, 3
+})
+
+
+def conv3x3_dw_supported(x_shape, g_shape, *, reflect: bool = False,
+                         itemsize: int = 2) -> bool:
+    """Gate for routing a training conv's dW through the Pallas kernel
+    (conv3x3_xla_pdw). Two layers: feasibility (mirrors the forward
+    kernel's constraints) AND measured per-shape benefit (_DW_WINNERS,
+    from tools/ab_dw.py on the real chip). COCOSNET_PALLAS_DW=all ignores
+    the winners table (feasibility only — what the A/B tool measures);
+    =0 disables entirely."""
+    import os
+    mode = os.environ.get("COCOSNET_PALLAS_DW", "1")
+    if mode in ("0", "false"):
+        return False
+    if not _is_tpu():
+        return False
+    n, h, w, c = x_shape
+    cout = g_shape[-1]
+    if mode != "all" and (h, w, c, cout, reflect) not in _DW_WINNERS:
+        return False
+    if w % 16 != 0 or w < 32 or h < 8 or h * w < 2048:
+        return False
+    if c < 64 or cout < 64:
+        return False
+    cp, cop = _round_up(c, 128), _round_up(cout, 128)
+    return _pick_tiles_dw(h, w, cp, cop, itemsize) is not None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv3x3_xla_pdw(x: Array, kernel: Array, bias: Array, reflect: bool):
+    """3x3 stride-1 'SAME' conv (zero or reflect ring) whose FORWARD and
+    dL/dx are exactly the XLA ops the plain path runs (so producer/consumer
+    fusions around the conv are untouched — the round-4 lesson), and whose
+    dL/dW + dL/db run the Pallas dW kernel above."""
+    return _xla_conv3x3(x, kernel, reflect) + bias.astype(x.dtype)
+
+
+def _xla_conv3x3(x: Array, kernel: Array, reflect: bool) -> Array:
+    if reflect:
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+        pad = ((0, 0), (0, 0))
+    else:
+        pad = ((1, 1), (1, 1))
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1), padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _pdw_fwd(x, kernel, bias, reflect):
+    return conv3x3_xla_pdw(x, kernel, bias, reflect), (x, kernel)
+
+
+def _pdw_bwd(reflect, res, g):
+    x, kernel = res
+    # dx: transpose the linear map x -> conv(x) symbolically — emits the
+    # identical transposed-conv (+ pad adjoint for reflect) XLA's own AD
+    # produces, without re-running the forward
+    dx = jax.linear_transpose(
+        lambda xx: _xla_conv3x3(xx, kernel, reflect), x)(g)[0]
+    dw, db = conv3x3_dw(x, g.astype(x.dtype), reflect=reflect)
+    return dx, dw.astype(jnp.float32), db
+
+
+conv3x3_xla_pdw.defvjp(_pdw_fwd, _pdw_bwd)
+
+
 _IN_TRAINING_TRACE = False
 
 
@@ -454,3 +706,185 @@ def conv3x3_fused(x: Array, kernel: Array, bias: Array | None, *,
     if bias is None:
         bias = jnp.zeros((kernel.shape[-1],), jnp.float32)
     return _conv3x3(x, kernel, bias.astype(jnp.float32), reflect, leaky)
+
+
+# --------------------------------------------------------------------------
+# One-hot-input conv: the seg adaptor's first conv reads a (B,256,256,151)
+# bf16 one-hot that is informationally a (B,256,256) label map — PROFILE.md
+# pins it as HBM-bound at the head of every forward (the round-5 queue's
+# item 3). This kernel streams the LABEL MAP (int32, ~1/300th the bytes)
+# and expands the one-hot rows in VMEM with an iota compare, then runs the
+# identical packed-3-tap MXU tail as the dense kernel. Semantically it is
+# conv3x3(one_hot(labels, C), W) + b with zero padding: a padded position
+# carries the sentinel -1, whose one-hot row is all zeros — exactly the
+# zero-pad ring's contribution.
+# Matches /root/reference/models/networks/generator.py:101-118 (the domain
+# adaptor consuming input_semantics) fed by the one-hot scatter of
+# /root/reference/models/pix2pix_model.py:176-187.
+# --------------------------------------------------------------------------
+
+
+def _pick_tiles_onehot(ho: int, wo: int, cp: int, cop: int, itemsize: int):
+    """(rows per block, cout tile) — the dense picker minus the wide input
+    slabs (the label slab is int32 single-channel, ~free)."""
+    def vmem(rr, ct):
+        return (2 * (rr + 2) * wo * 4                    # label slabs (i32)
+                + 2 * rr * wo * 3 * cp * itemsize        # x3 scratch + tap
+                + rr * wo * ct * 4                       # f32 acc
+                + 2 * 9 * cp * ct * itemsize             # k3 tile (piped)
+                + 2 * rr * wo * ct * itemsize)           # out (2 buffers)
+
+    m = cop // 128
+    cot_divs = [128 * d for d in range(m, 0, -1) if m % d == 0]
+    cot = cot_divs[0]
+    for ct in cot_divs:
+        if 2 * 9 * cp * ct * itemsize <= _BUDGET // 2:
+            cot = ct
+            break
+    r = min(max(1, 1024 // wo), ho)
+    while ho % r != 0:
+        r -= 1
+    while r > 1 and vmem(r, cot) > _BUDGET:
+        r -= 1
+        while r > 1 and ho % r != 0:
+            r -= 1
+    if vmem(max(r, 1), cot) > _BUDGET:
+        return None
+    return max(r, 1), cot
+
+
+def _onehot_kernel(r, wo, cp, cot, nh, leaky, want_stats,
+                   lab_hbm, k3_ref, b_ref, out_ref, *rest):
+    if want_stats:
+        stats_ref, slab, x3_s, sem = rest
+    else:
+        stats_ref = None
+        slab, x3_s, sem = rest
+    ib = pl.program_id(0)
+    ih = pl.program_id(1)
+    j = pl.program_id(2)
+    step = ib * nh + ih
+    nsteps = pl.num_programs(0) * nh
+
+    def fetch(s):
+        b = s // nh
+        h = s % nh
+        return pltpu.make_async_copy(
+            lab_hbm.at[b, pl.ds(h * r, r + 2)],
+            slab.at[s % 2],
+            sem.at[s % 2],
+        )
+
+    @pl.when(jnp.logical_and(step == 0, j == 0))
+    def _():
+        fetch(0).start()
+
+    @pl.when(j == 0)
+    def _():
+        @pl.when(step + 1 < nsteps)
+        def _():
+            fetch(step + 1).start()
+        fetch(step).wait()
+        ids = slab[step % 2]                         # (R+2, W) int32
+        ids3 = jnp.concatenate(
+            [ids[0:r][..., None], ids[1:r + 1][..., None],
+             ids[2:r + 2][..., None]], axis=-1)      # (R, W, 3) dy-major
+        iota = jax.lax.broadcasted_iota(jnp.int32, (r, wo, 3, cp), 3)
+        x3_s[:] = (ids3[..., None] == iota).astype(
+            x3_s.dtype).reshape(r, wo, 3 * cp)
+
+    _mxu_tail(x3_s, k3_ref, b_ref, out_ref, stats_ref,
+              r, wo, cp, cot, leaky, reflect_w=False)
+
+
+def conv3x3_onehot_supported(lab_shape, n_classes: int, cout: int, *,
+                             itemsize: int = 2) -> bool:
+    """Gate: TPU inference (no VJP — the training trace falls back to the
+    dense path), lane-aligned width, enough GEMM rows, VMEM-feasible tiles."""
+    import os
+    if os.environ.get("COCOSNET_ONEHOT_CONV", "1") in ("0", "false"):
+        return False
+    if not _is_tpu() or _IN_TRAINING_TRACE:
+        return False
+    if len(lab_shape) != 3:
+        return False
+    _, h, w = lab_shape
+    if w % 128 != 0 or h < 8 or h * w < 2048 or cout < 64:
+        return False
+    cp, cop = _round_up(n_classes, 128), _round_up(cout, 128)
+    return _pick_tiles_onehot(h, w, cp, cop, itemsize) is not None
+
+
+def conv3x3_onehot(labels: Array, kernel: Array, bias: Array | None, *,
+                   dtype=None, leaky: float | None = None,
+                   want_stats: bool = False):
+    """conv3x3_fused(one_hot(labels, C), kernel, bias) with the one-hot
+    never materialized in HBM. labels: (B, H, W) integer class ids —
+    out-of-range ids (the -1 halo sentinel, padded lanes) contribute
+    zeros, exactly like the zero-pad ring / zero-padded kernel rows.
+    `dtype` is the compute dtype the dense path would have used for the
+    one-hot (defaults to kernel.dtype). With want_stats, additionally
+    returns instance-norm (mean, var) f32 (B,1,1,Cout) from the f32
+    accumulator — same contract as conv3x3_fused_stats."""
+    c, cout = kernel.shape[2], kernel.shape[3]
+    dtype = dtype or kernel.dtype
+    cp = _round_up(c, 128)
+    cop = _round_up(cout, 128)
+    if bias is None:
+        bias = jnp.zeros((cout,), jnp.float32)
+    labq = jnp.pad(labels.astype(jnp.int32), ((0, 0), (1, 1), (0, 0)),
+                   constant_values=-1)
+    k3 = _pack_k3(kernel, cp, cop).astype(dtype)
+    b2 = jnp.pad(bias.astype(jnp.float32), (0, cop - cout)).reshape(1, cop)
+    b, hq, wo = labq.shape
+    ho = hq - 2
+    tiles = _pick_tiles_onehot(ho, wo, cp, cop, jnp.dtype(dtype).itemsize)
+    assert tiles is not None, \
+        "conv3x3_onehot_supported must gate infeasible shapes"
+    r, cot = tiles
+    nh = ho // r
+    nc = cop // cot
+
+    out_shape = [jax.ShapeDtypeStruct((b, ho, wo, cop), dtype)]
+    out_specs = [pl.BlockSpec((1, r, wo, cot),
+                              lambda ib, ih, j: (ib, ih, 0, j))]
+    if want_stats:
+        out_shape.append(jax.ShapeDtypeStruct((b, nh, 2, cop), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, 2, cot),
+                                      lambda ib, ih, j: (ib, ih, 0, j)))
+    res = pl.pallas_call(
+        functools.partial(_onehot_kernel, r, wo, cp, cot, nh, leaky,
+                          want_stats),
+        grid=(b, nh, nc),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),           # labels stay in HBM
+            pl.BlockSpec((3, 3 * cp, cot), lambda ib, ih, j: (0, 0, j)),
+            pl.BlockSpec((1, cot), lambda ib, ih, j: (0, j)),
+        ],
+        out_specs=out_specs if want_stats else out_specs[0],
+        out_shape=out_shape if want_stats else out_shape[0],
+        scratch_shapes=[
+            pltpu.VMEM((2, r + 2, wo), jnp.int32),
+            pltpu.VMEM((r, wo, 3 * cp), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=not _is_tpu(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * ho * wo * 9 * cp * cop,
+            bytes_accessed=b * (hq * wo * 4
+                                + 2 * ho * wo * cop
+                                * jnp.dtype(dtype).itemsize),
+            transcendentals=0,
+        ),
+    )(labq, k3, b2)
+    if not want_stats:
+        return res[..., :cout] if cop != cout else res
+    out, parts = res
+    if cop != cout:
+        out = out[..., :cout]
+    sums = jnp.sum(parts, axis=1)                      # (B, 2, Cop)
+    n = float(ho * wo)
+    mean = (sums[:, 0, :cout] / n)[:, None, None, :]
+    var = jnp.maximum(sums[:, 1, :cout][:, None, None, :] / n - mean * mean,
+                      0.0)
+    return out, mean, var

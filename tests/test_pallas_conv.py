@@ -225,3 +225,117 @@ def test_stats_gate_excludes_training(monkeypatch):
     assert not pc.conv3x3_supported(*args, **kw)
     with pc.training_trace():
         assert not pc.conv3x3_stats_supported(*args, **kw)
+
+
+# ---------------------------------------------------------------- dW kernel
+
+@pytest.mark.parametrize("reflect", [False, True])
+@pytest.mark.parametrize("shape", [
+    (2, 8, 16, 64, 64),     # multi row-block accumulation (b x nh sweep)
+    (1, 4, 16, 151, 200),   # channel padding both sides (151/200 -> 256)
+])
+def test_conv3x3_dw_matches_lax_grad(shape, reflect):
+    from cocosnet_tpu.ops.pallas_conv import conv3x3_dw
+    b_, h, w, ci, co = shape
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.randn(b_, h, w, ci).astype(np.float32))
+    k = jnp.asarray((rs.randn(3, 3, ci, co) * 0.05).astype(np.float32))
+    b = jnp.asarray(rs.randn(co).astype(np.float32))
+    g = jnp.asarray(rs.randn(b_, h, w, co).astype(np.float32))
+
+    dw, db = conv3x3_dw(x, g, reflect=reflect)
+    ref_dw, ref_db = jax.grad(
+        lambda kk, bb: jnp.vdot(_oracle(x, kk, bb, reflect), g),
+        argnums=(0, 1))(k, b)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(ref_dw),
+                               atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(ref_db),
+                               atol=1e-3, rtol=1e-4)
+
+
+@pytest.mark.parametrize("reflect", [False, True])
+def test_conv3x3_xla_pdw_full_vjp(reflect):
+    """The training route (XLA fwd + XLA dx + Pallas dW) must match plain
+    XLA AD on every gradient."""
+    from cocosnet_tpu.ops.pallas_conv import conv3x3_xla_pdw
+    rs = np.random.RandomState(4)
+    x = jnp.asarray(rs.randn(2, 8, 16, 64).astype(np.float32))
+    k = jnp.asarray((rs.randn(3, 3, 64, 64) * 0.05).astype(np.float32))
+    b = jnp.asarray(rs.randn(64).astype(np.float32))
+
+    def loss_pdw(x, k, b):
+        y = conv3x3_xla_pdw(x, k, b, reflect)
+        return jnp.sum(jnp.sin(y))
+
+    def loss_ref(x, k, b):
+        return jnp.sum(jnp.sin(_oracle(x, k, b, reflect)))
+
+    out = loss_pdw(x, k, b)
+    ref = loss_ref(x, k, b)
+    np.testing.assert_allclose(float(out), float(ref), rtol=1e-5)
+    gx, gk, gb = jax.grad(loss_pdw, argnums=(0, 1, 2))(x, k, b)
+    rx, rk, rb = jax.grad(loss_ref, argnums=(0, 1, 2))(x, k, b)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(rk),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(rb),
+                               atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------- one-hot conv
+
+@pytest.mark.parametrize("nc,co", [
+    (151, 64),      # ade20k semantic_nc -> adaptor ndf (both lanes padded)
+    (128, 128),     # no padding on either side
+])
+def test_conv3x3_onehot_matches_dense(nc, co):
+    from cocosnet_tpu.ops.pallas_conv import conv3x3_onehot
+    rs = np.random.RandomState(7)
+    labels = jnp.asarray(rs.randint(0, nc, (2, 8, 128)).astype(np.int32))
+    k = jnp.asarray((rs.randn(3, 3, nc, co) * 0.05).astype(np.float32))
+    b = jnp.asarray(rs.randn(co).astype(np.float32))
+    dense = jax.nn.one_hot(labels, nc, dtype=jnp.float32)
+    out = conv3x3_onehot(labels, k, b, dtype=jnp.float32)
+    ref = _oracle(dense, k, b, False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_conv3x3_onehot_stats_and_leaky():
+    from cocosnet_tpu.ops.pallas_conv import conv3x3_onehot
+    rs = np.random.RandomState(8)
+    nc, co = 151, 64
+    labels = jnp.asarray(rs.randint(0, nc, (1, 8, 128)).astype(np.int32))
+    k = jnp.asarray((rs.randn(3, 3, nc, co) * 0.05).astype(np.float32))
+    b = jnp.asarray(rs.randn(co).astype(np.float32))
+    out, mean, var = conv3x3_onehot(labels, k, b, dtype=jnp.float32,
+                                    leaky=0.2, want_stats=True)
+    dense = jax.nn.one_hot(labels, nc, dtype=jnp.float32)
+    ref = _oracle(dense, k, b, False)
+    ref = jnp.where(ref >= 0, ref, 0.2 * ref)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(mean)[:, 0, 0],
+                               np.asarray(jnp.mean(ref, axis=(1, 2))),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(var)[:, 0, 0],
+                               np.asarray(jnp.var(ref, axis=(1, 2))),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_onehot_duck_falls_back_to_dense_path():
+    """conv2d(OneHotLabels) off-TPU (or any unsupported shape) must densify
+    and match conv2d on the explicit one-hot bit-for-bit."""
+    from cocosnet_tpu.nn.layers import OneHotLabels, conv2d
+    rs = np.random.RandomState(9)
+    nc, co = 19, 32
+    labels = jnp.asarray(rs.randint(0, nc, (2, 6, 10)).astype(np.int32))
+    k = jnp.asarray((rs.randn(3, 3, nc, co) * 0.05).astype(np.float32))
+    b = jnp.asarray(rs.randn(co).astype(np.float32))
+    duck = OneHotLabels(labels, nc, jnp.float32)
+    got = conv2d(duck, k, b, padding=1)
+    want = conv2d(duck.dense(), k, b, padding=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0)
+    assert duck.shape == (2, 6, 10, nc) and duck.ndim == 4
+    assert duck.astype(jnp.bfloat16).dtype == jnp.bfloat16
