@@ -27,6 +27,7 @@ Kernel dispatch:
 from __future__ import annotations
 
 import sys
+import warnings
 from typing import Dict, Optional
 
 import jax
@@ -109,7 +110,8 @@ class CorrespondenceNet(nn.Module):
                  detach_flag: bool = False,
                  WTA_scale_weight: float = 1.0,
                  train: bool = True,
-                 return_corr: bool = False) -> Dict[str, Array]:
+                 return_corr: bool = False,
+                 seg_label: Optional[Array] = None) -> Dict[str, Array]:
         opt = self.opt
         out: Dict[str, Array] = {}
         b, ih, iw, _ = ref_img.shape
@@ -129,7 +131,17 @@ class CorrespondenceNet(nn.Module):
                                                name="adaptive_model_seg")
         adaptor_img = AdaptiveFeatureGenerator(opt, 3,
                                                name="adaptive_model_img")
-        feat_seg = feature_normalize(adaptor_seg(seg_input, seg_input, train))
+        # seg_label: integer class map whose one_hot IS seg_map exactly
+        # (caller guarantees it — ade20k/flickr without mask noise). The
+        # adaptor's first conv then streams the ~1.5 MB label map instead of
+        # the ~118 MB dense one-hot (nn.layers.OneHotLabels -> Pallas
+        # gather-conv); SPADE conditioning inside the adaptor stays dense.
+        adaptor_x = seg_input
+        if seg_label is not None and seg_input is seg_map:
+            from cocosnet_tpu.nn.layers import OneHotLabels
+            adaptor_x = OneHotLabels(seg_label, opt.semantic_nc,
+                                     seg_map.dtype)
+        feat_seg = feature_normalize(adaptor_seg(adaptor_x, seg_input, train))
         feat_img = feature_normalize(adaptor_img(ref_img, ref_img, train))
         out["adaptive_feature_seg"] = feat_seg
         out["adaptive_feature_img"] = feat_img
@@ -182,6 +194,13 @@ class CorrespondenceNet(nn.Module):
         # 5. descriptors (correspondence.py:272-289)
         if WTA_scale_weight != 1 or return_corr:
             # explicit-matrix path for WTA scaling / correlation dumps
+            if opt.mesh_model > 1:
+                warnings.warn(
+                    "--mesh_model > 1 has no spatial-parallel form of the "
+                    "explicit-matrix correlation (WTA_scale_weight != 1 / "
+                    "--show_corr): this path materializes the full HWxHW "
+                    "matrix REPLICATED on every device in the model axis. "
+                    "Results are correct but unsharded.", stacklevel=2)
             theta = self._descriptor(cont_features, "theta")   # (B, N, C')
             phi = self._descriptor(ref_features, "phi")        # (B, N, C')
             if detach_flag:
@@ -271,6 +290,16 @@ class CorrespondenceNet(nn.Module):
                                  use_pallas=opt.use_pallas,
                                  model=opt.mesh_model)
         else:
+            if opt.mesh_model > 1:
+                # mk=1 SP needs PONO_C (the box-statistics centering above);
+                # plain spatial-mean centering couples every query row to all
+                # others, which the halo machinery doesn't reconstruct
+                warnings.warn(
+                    "--mesh_model > 1 with match_kernel=1 requires --PONO_C "
+                    "for the spatial-parallel correlation; falling back to "
+                    "the dense-descriptor path REPLICATED over the model "
+                    "axis. Results are correct but unsharded — add --PONO_C "
+                    "(the flagship config) to shard this op.", stacklevel=2)
             theta = self._descriptor(cont_features, "theta")   # (B, N, C')
             phi = self._descriptor(ref_features, "phi")        # (B, N, C')
             if detach_flag:

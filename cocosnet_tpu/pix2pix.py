@@ -183,6 +183,16 @@ def generate_fake(nets: Pix2PixNets, variables: Dict[str, Vars],
     opt = nets.opt
     updates: Dict[str, Vars] = {}
     kwargs = dict(train=train)
+    if (not train and opt.dataset_mode in ("ade20k", "flickr")
+            and "input_label" in data):
+        # inference: input_semantics IS one_hot(input_label) exactly for
+        # these datasets (preprocess_input above — no glasses injection, no
+        # edge/pose channels), so hand the correspondence net the integer
+        # map and let the seg adaptor's first conv stream it instead of the
+        # dense one-hot (nn.layers.OneHotLabels -> Pallas gather-conv).
+        # Training keeps the dense path: the gather-conv has no VJP and
+        # densifying here would just duplicate the one-hot XLA already has.
+        kwargs["seg_label"] = data["input_label"]
     corr_mutable = ["spectral", "batch_stats"] if train and mutable else False
     corr_res = nets.corr.apply(
         variables["corr"], data["ref_image"],
