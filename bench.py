@@ -102,12 +102,16 @@ def bench_tpu() -> float:
 
 
 def bench_train(batch: int = 4, steps: int = 6, remat: bool = False,
-                remat_policy: str = "block"):
+                remat_policy: str = "block", scan_k: int = 0):
     """Training throughput: the fused G+D step (all 11 loss terms, TTUR,
     EMA, spectral norm) on the flagship ade20k config. Returns
     (img/s/chip, s/step). Steps chain through the donated TrainState so the
     timed fetch of the last metric forces the whole chain (one dispatch per
-    step, lazy on the remote runtime)."""
+    step, lazy on the remote runtime).
+
+    scan_k > 0 runs the steps through make_multi_train_step (lax.scan of
+    scan_k steps per dispatch, train.py's --steps_per_dispatch): `steps`
+    rounds up to a multiple of scan_k, one dispatch per chunk."""
     import jax
     import jax.numpy as jnp
     from cocosnet_tpu import pix2pix as P
@@ -134,9 +138,23 @@ def bench_train(batch: int = 4, steps: int = 6, remat: bool = False,
     dev_batch = {k: jax.device_put(v) for k, v in base.items()}
     variables = nets.init_all(jax.random.PRNGKey(0), dev_batch)
     state = S.create_train_state(opt, variables, jax.random.PRNGKey(0))
-    step = jax.jit(ST.make_train_step(nets), donate_argnums=(0,))
     lr = jnp.asarray(S.lrs_for_epoch(opt, 1))
 
+    if scan_k > 0:
+        step = jax.jit(ST.make_multi_train_step(nets), donate_argnums=(0,))
+        chunk = {k: jnp.broadcast_to(v[None], (scan_k,) + v.shape)
+                 for k, v in dev_batch.items()}
+        n_chunks = max(1, (steps + scan_k - 1) // scan_k)
+        state, metrics, _ = step(state, chunk, lr)  # compile + warm
+        float(metrics[next(iter(metrics))][-1])
+        t0 = time.perf_counter()
+        for _ in range(n_chunks):
+            state, metrics, _ = step(state, chunk, lr)
+        float(metrics[next(iter(metrics))][-1])
+        dt = (time.perf_counter() - t0) / (n_chunks * scan_k)
+        return batch / dt, dt
+
+    step = jax.jit(ST.make_train_step(nets), donate_argnums=(0,))
     state, metrics, _ = step(state, dev_batch, lr)  # compile + warm
     float(next(iter(metrics.values())))
     t0 = time.perf_counter()

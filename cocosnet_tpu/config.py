@@ -172,6 +172,13 @@ class Options:
     # (18.09 vs 17.21 block vs 16.18 conv img/s, PERF.md round-4) and
     # fits the same per-chip batch
     remat_policy: str = "conv_small"
+    # train steps fused per dispatch (lax.scan in train/steps.py:
+    # make_multi_train_step). 1 = the reference's per-iter loop; >1 removes
+    # the per-step dispatch round-trip + NaN-probe sync (~7% of a 0.38 s
+    # step through the remote-runtime tunnel, PROFILE_TRAIN.md). Losses
+    # still log per step (the scan stacks per-step metrics); visuals render
+    # from the last step of a chunk; D_steps_per_G>1 falls back to 1.
+    steps_per_dispatch: int = 1
     # multi-host launch (jax.distributed): --distributed on each host; on TPU
     # pods the coordinator/process args auto-detect, elsewhere pass all three
     distributed: bool = False

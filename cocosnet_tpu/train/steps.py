@@ -58,6 +58,36 @@ def _trace_as_training(step_fn):
     return wrapped
 
 
+def make_multi_train_step(nets: P.Pix2PixNets):
+    """K fused train steps in ONE compiled program (lax.scan over batches
+    stacked on the leading axis) — one dispatch + one host sync per K
+    iterations instead of per iteration.
+
+    PROFILE_TRAIN.md (round 4) measured ~24-30 ms of dispatch round-trip per
+    0.38 s step through the remote-runtime tunnel (~7%); train.py further
+    fetches a NaN-probe scalar every step, serializing each dispatch. Over
+    the reference's per-iter loop (/root/reference/train.py:48-58) the
+    schedule is identical — scan(body) IS that loop, with the epoch-constant
+    lr and the donated TrainState threaded through.
+
+    multi_step(state, batches, lr) -> (state, metrics (K, ...) stacked
+    per-step, visuals of the LAST step). batches: the per-step batch dict
+    with every leaf stacked to (K, B, ...).
+    """
+    step = make_train_step(nets)
+
+    def multi_step(state: S.TrainState, batches: Dict[str, jax.Array],
+                   lr: jax.Array):
+        def body(st, b):
+            st, metrics, vis = step(st, b, lr)
+            return st, (metrics, vis)
+
+        state, (metrics, vis) = jax.lax.scan(body, state, batches)
+        return state, metrics, jax.tree.map(lambda v: v[-1], vis)
+
+    return multi_step
+
+
 def make_train_step(nets: P.Pix2PixNets):
     opt = nets.opt
     tx_g, tx_d = S.make_optimizers(opt)

@@ -109,6 +109,27 @@ def main():
     train_step, d_only_step = get_steps(progress.start_epoch)
     last_fake = None
 
+    # --steps_per_dispatch > 1: K steps fused in one lax.scan program
+    # (train/steps.py:make_multi_train_step) — one dispatch + one NaN-probe
+    # sync per K iterations. Losses still log PER STEP from the stacked
+    # metrics; visuals come from the last step of a chunk. Incompatible
+    # with the D_steps_per_G>1 schedule (per-step branching) — falls back.
+    spd = opt.steps_per_dispatch
+    if spd > 1 and opt.D_steps_per_G > 1:
+        print("steps_per_dispatch > 1 is unsupported with D_steps_per_G > 1;"
+              " running per-step dispatch")
+        spd = 1
+    multi_cache = {}
+
+    def get_multi_step(epoch):
+        noise_phase = bool(opt.noise_for_mask and epoch > opt.mask_epoch)
+        if noise_phase not in multi_cache:
+            nets_e = P.Pix2PixNets(
+                opt.replace(epoch=opt.mask_epoch + 1 if noise_phase else 1))
+            multi_cache[noise_phase] = jax.jit(
+                ST.make_multi_train_step(nets_e), donate_argnums=(0,))
+        return multi_cache[noise_phase]
+
     from cocosnet_tpu.utils.profiling import Throughput, maybe_trace
     throughput = Throughput()
 
@@ -116,12 +137,70 @@ def main():
     if opt.output_dir != "./output":
         save_root = opt.output_dir
 
+    def nan_bail(epoch):
+        C.save_state(opt, state, "nan_debug")
+        raise FloatingPointError(
+            f"loss went NaN at epoch {epoch}, iter "
+            f"{progress.epoch_iter} — state saved as "
+            f"'nan_debug' for inspection; rerun with "
+            f"--compute_dtype f32 and/or a lower --lr")
+
+    def handle_events(events, epoch, metrics_host, visuals, batch):
+        # metrics_host: {name: float} for THIS step (row j of a chunk)
+        if events.print_losses and is_main:
+            metrics_np = dict(metrics_host)
+            metrics_np["img/s"] = throughput.step(opt.batchSize)
+            print_current_errors(opt, epoch, progress.epoch_iter,
+                                 metrics_np, progress.time_per_img)
+        if events.display_visuals and is_main and visuals:
+            try:
+                _save_visuals(opt, batch, visuals, epoch,
+                              progress.images_seen, save_root, V)
+            except OSError as err:
+                print(err)
+        if events.save_latest:
+            if is_main:
+                print(f"saving the latest model (epoch {epoch}, "
+                      f"total_steps {progress.images_seen})")
+            C.save_state(opt, state, "latest")  # collective on multi-host
+            if is_main:
+                progress.save_record()
+
     for epoch in progress.epochs():
         progress.begin_epoch(epoch)
         train_step, d_only_step = get_steps(epoch)
+        multi_step = get_multi_step(epoch) if spd > 1 else None
         lr = jnp.asarray(S.lrs_for_epoch(opt, epoch))  # (lr_G, lr_D)
+        pending = []  # (batch, paths) awaiting a full steps_per_dispatch chunk
+
+        def run_chunk(epoch, chunk_i):
+            nonlocal state, last_fake, pending
+            batches = [b for b, _ in pending]
+            last_batch = pending[-1][0]
+            pending = []
+            stacked = {k: jnp.stack([b[k] for b in batches])
+                       for k in batches[0]}
+            trace_this = bool(opt.profile_dir) and epoch == 1 and chunk_i == 2
+            with maybe_trace(opt.profile_dir, trace_this):
+                state, metrics_k, visuals = multi_step(state, stacked, lr)
+            last_fake = visuals["fake_image"]
+            # one host sync per chunk: fetch the stacked per-step metrics
+            mh = {k: np.asarray(v) for k, v in metrics_k.items()}
+            if np.isnan(next(iter(mh.values()))).any():
+                nan_bail(epoch)
+            for j in range(len(batches)):
+                events = progress.step()
+                handle_events(events, epoch,
+                              {k: float(v[j]) for k, v in mh.items()},
+                              visuals, last_batch)
+
         for i, (batch, paths) in enumerate(
                 prefetch_to_device(iter(dataloader), mesh)):
+            if multi_step is not None:
+                pending.append((batch, paths))
+                if len(pending) == spd:
+                    run_chunk(epoch, i // spd)
+                continue
             events = progress.step()
             trace_this = bool(opt.profile_dir) and epoch == 1 and i == 2
             with maybe_trace(opt.profile_dir, trace_this):
@@ -139,31 +218,22 @@ def main():
             # the standard loss-logging fetch on any backend
             probe = float(next(iter(metrics.values())))
             if probe != probe:  # NaN guard (free: probe is fetched anyway)
-                C.save_state(opt, state, "nan_debug")
-                raise FloatingPointError(
-                    f"loss went NaN at epoch {epoch}, iter "
-                    f"{progress.epoch_iter} — state saved as "
-                    f"'nan_debug' for inspection; rerun with "
-                    f"--compute_dtype f32 and/or a lower --lr")
-
-            if events.print_losses and is_main:
-                metrics_np = {k: float(v) for k, v in metrics.items()}
-                metrics_np["img/s"] = throughput.step(opt.batchSize)
-                print_current_errors(opt, epoch, progress.epoch_iter,
-                                     metrics_np, progress.time_per_img)
-            if events.display_visuals and is_main:
-                try:
-                    _save_visuals(opt, batch, visuals, epoch,
-                                  progress.images_seen, save_root, V)
-                except OSError as err:
-                    print(err)
-            if events.save_latest:
-                if is_main:
-                    print(f"saving the latest model (epoch {epoch}, "
-                          f"total_steps {progress.images_seen})")
-                C.save_state(opt, state, "latest")  # collective on multi-host
-                if is_main:
-                    progress.save_record()
+                nan_bail(epoch)
+            handle_events(events, epoch,
+                          {k: float(v) for k, v in metrics.items()},
+                          visuals, batch)
+        # epoch tail shorter than a chunk: run the leftovers per-step
+        for batch, paths in pending:
+            events = progress.step()
+            state, metrics, visuals = train_step(state, batch, lr)
+            last_fake = visuals["fake_image"]
+            probe = float(next(iter(metrics.values())))
+            if probe != probe:
+                nan_bail(epoch)
+            handle_events(events, epoch,
+                          {k: float(v) for k, v in metrics.items()},
+                          visuals, batch)
+        pending = []
         progress.end_epoch(verbose=is_main)
         if epoch % opt.save_epoch_freq == 0 or \
                 epoch == progress.final_epoch:
