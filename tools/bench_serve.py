@@ -68,10 +68,16 @@ def main():
                     help="initial requests excluded from the stats (compile "
                          "+ cold caches)")
     ap.add_argument("--timeout_s", type=float, default=1800.0)
+    ap.add_argument("--ext", default=None,
+                    help="result extension to wait for (defaults to the "
+                         "--out_format passed to serve.py, else png)")
     ap.add_argument("rest", nargs=argparse.REMAINDER,
                     help="-- then serve.py args")
     args = ap.parse_args()
     serve_args = [a for a in args.rest if a != "--"]
+    if args.ext is None:
+        args.ext = (serve_args[serve_args.index("--out_format") + 1]
+                    if "--out_format" in serve_args else "png")
 
     pairs = find_pairs(args.src_dir)
     tmp = tempfile.mkdtemp(prefix="bench_serve_")
@@ -115,8 +121,9 @@ def main():
                 if os.path.exists(err):
                     raise SystemExit(f"request failed: {err}: "
                                      + open(err).read().strip())
-            return sum(os.path.exists(os.path.join(out, f"{prefix}{i:04d}.png"))
-                       for i in range(n)) == n
+            return sum(os.path.exists(
+                os.path.join(out, f"{prefix}{i:04d}.{args.ext}"))
+                for i in range(n)) == n
 
         t0 = time.perf_counter()
         while not outputs_done("w", args.warmup):
@@ -141,7 +148,7 @@ def main():
                 done = set()
                 for rid in pending:
                     if rid in t_sent and os.path.exists(
-                            os.path.join(out, rid + ".png")):
+                            os.path.join(out, rid + "." + args.ext)):
                         lat[rid] = time.perf_counter() - t_sent[rid]
                         done.add(rid)
                 pending -= done
