@@ -56,6 +56,7 @@ class TrainProgress:
                       f"at iteration {into_epoch}")
         self.start_epoch = start_epoch
         self.images_seen = (start_epoch - 1) * images_per_epoch + into_epoch
+        self._epoch_images = 0
         self.current_epoch = start_epoch
         self._epoch_t0 = time.time()
         self._step_t0 = time.time()
@@ -69,7 +70,7 @@ class TrainProgress:
     @property
     def epoch_iter(self) -> int:
         """Images consumed within the current epoch."""
-        return self.images_seen - (self.current_epoch - 1) * self.images_per_epoch
+        return self._epoch_images
 
     @property
     def total_steps_so_far(self) -> int:
@@ -84,9 +85,12 @@ class TrainProgress:
         self.current_epoch = epoch
         self._epoch_t0 = time.time()
         self._step_t0 = time.time()
-        # re-anchor so epoch_iter restarts at 0 even if the dataloader
-        # yielded a ragged final batch last epoch
-        self.images_seen = (epoch - 1) * self.images_per_epoch
+        # epoch_iter restarts at 0 while the total keeps any mid-epoch
+        # resume offset — the reference's record_epoch_start zeroes
+        # epoch_iter but leaves total_steps_so_far (which seeds the
+        # print/display/save modulo windows) untouched
+        # (util/iter_counter.py:29-40)
+        self._epoch_images = 0
 
     def end_epoch(self, verbose: bool = True) -> None:
         """verbose=False on non-zero processes of a multi-host run (they keep
@@ -112,6 +116,7 @@ class TrainProgress:
         self.time_per_img = (now - self._step_t0) / max(self.batch, 1)
         self._step_t0 = now
         self.images_seen += self.batch
+        self._epoch_images += self.batch
         return StepEvents(
             print_losses=self._crossed(self.print_freq),
             display_visuals=self._crossed(self.display_freq),

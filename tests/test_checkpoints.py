@@ -60,6 +60,37 @@ def test_state_roundtrip():
         assert all(np.isfinite(float(v)) for v in m2.values())
 
 
+def test_restored_state_runs_under_data_mesh():
+    """Resume under a >1-device data mesh (train.py --continue_train with
+    --mesh_data N). Orbax restores arrays COMMITTED to device 0, while a
+    fresh-init state is uncommitted — jit then rejects the committed
+    placement against a data-sharded batch ("incompatible devices", hit by
+    the b32 global-batch-32 resume). train.py re-places the restored state
+    replicated over the mesh; this pins that flow end-to-end."""
+    from cocosnet_tpu import mesh as M
+    from cocosnet_tpu.train import checkpoints as C
+    from cocosnet_tpu.train import state as S, steps as ST
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    with tempfile.TemporaryDirectory() as tmp:
+        opt, nets, state, batch = _tiny_setup(tmp)
+        lr = jnp.asarray(S.lrs_for_epoch(opt, 1))
+        train_step = jax.jit(ST.make_train_step(nets))
+        state, _, _ = train_step(state, batch, lr)
+        C.save_state(opt, state, "latest")
+        restored = C.load_state(opt, state, "latest")
+
+        mesh = M.create_mesh(data=2, model=1)
+        M.set_global_mesh(mesh)
+        restored = jax.device_put(restored, M.replicated(mesh))  # the fix
+        sharded = {k: jax.device_put(v, M.batch_sharding(mesh))
+                   for k, v in batch.items()}
+        state2, m2, _ = train_step(restored, sharded, lr)
+        assert all(np.isfinite(float(v)) for v in m2.values())
+        assert int(state2.step) == 2
+
+
 def test_lr_schedule():
     from cocosnet_tpu.train.state import lr_for_epoch, lrs_for_epoch
     opt = test_defaults(niter=10, niter_decay=10, lr=0.0002)

@@ -185,6 +185,13 @@ def main():
                 for c in corr_params if "adaptive_model_seg" in corr_params[c]}
     bench_one("  adaptor (seg, 151ch)",
               lambda v, s: adaptor_seg.apply(v, s, s, False), seg_vars, sem)
+    # same adaptor with the first conv streaming the integer label map
+    # instead of the dense one-hot (nn.layers.OneHotLabels -> Pallas
+    # gather-conv; the inference() path for ade20k/flickr)
+    bench_one("  adaptor (seg, gather-onehot)",
+              lambda v, l, s: adaptor_seg.apply(
+                  v, L.OneHotLabels(l, opt.semantic_nc, s.dtype), s, False),
+              seg_vars, data["input_label"], sem)
     adaptor_img = AdaptiveFeatureGenerator(opt, 3)
     img_vars = {c: corr_params[c]["adaptive_model_img"]
                 for c in corr_params if "adaptive_model_img" in corr_params[c]}

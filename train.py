@@ -13,6 +13,7 @@ printing to loss_log.txt, visual grids every --display_freq, `latest` +
 per-epoch checkpoints, linear LR decay after --niter epochs.
 """
 
+import dataclasses
 import os
 import sys
 import time
@@ -53,7 +54,7 @@ def main():
     from cocosnet_tpu.train import checkpoints as C
     from cocosnet_tpu.train import state as S
     from cocosnet_tpu.train import steps as ST
-    from cocosnet_tpu.utils.iter_counter import TrainProgress
+    from cocosnet_tpu.utils.iter_counter import StepEvents, TrainProgress
     from cocosnet_tpu.utils.logging import print_current_errors
     from cocosnet_tpu.utils import visuals as V
 
@@ -87,6 +88,14 @@ def main():
     if opt.continue_train:
         try:
             state = C.load_state(opt, state, opt.which_epoch)
+            if jax.process_count() == 1:
+                # orbax restores COMMITTED to device 0; a fresh-init state is
+                # uncommitted (jit places it next to the sharded batch). Under
+                # a >1-device mesh the committed placement collides with the
+                # data-sharded batch ("incompatible devices") — re-place the
+                # restored state replicated over the mesh, which is exactly
+                # the layout jit resolves for the fresh path.
+                state = jax.device_put(state, M.replicated(mesh))
             print(f"resumed train state from {opt.which_epoch}")
         except Exception as e:
             print(f"could not resume ({e}); starting fresh")
@@ -188,10 +197,20 @@ def main():
             mh = {k: np.asarray(v) for k, v in metrics_k.items()}
             if np.isnan(next(iter(mh.values()))).any():
                 nan_bail(epoch)
+            # save_latest is deferred to the chunk boundary: `state` already
+            # holds the post-chunk value, so a mid-chunk save would pair it
+            # with a mid-chunk iter.txt count and the resume would replay
+            # steps the checkpoint already contains
+            want_save = False
             for j in range(len(batches)):
                 events = progress.step()
-                handle_events(events, epoch,
+                want_save = want_save or events.save_latest
+                handle_events(dataclasses.replace(events, save_latest=False),
+                              epoch,
                               {k: float(v[j]) for k, v in mh.items()},
+                              visuals, last_batch)
+            if want_save:
+                handle_events(StepEvents(save_latest=True), epoch, {},
                               visuals, last_batch)
 
         for i, (batch, paths) in enumerate(
