@@ -183,6 +183,7 @@ def generate_fake(nets: Pix2PixNets, variables: Dict[str, Vars],
     opt = nets.opt
     updates: Dict[str, Vars] = {}
     kwargs = dict(train=train)
+    corr_kwargs = dict(kwargs)
     if (not train and opt.dataset_mode in ("ade20k", "flickr")
             and "input_label" in data):
         # inference: input_semantics IS one_hot(input_label) exactly for
@@ -192,13 +193,13 @@ def generate_fake(nets: Pix2PixNets, variables: Dict[str, Vars],
         # dense one-hot (nn.layers.OneHotLabels -> Pallas gather-conv).
         # Training keeps the dense path: the gather-conv has no VJP and
         # densifying here would just duplicate the one-hot XLA already has.
-        kwargs["seg_label"] = data["input_label"]
+        corr_kwargs["seg_label"] = data["input_label"]
     corr_mutable = ["spectral", "batch_stats"] if train and mutable else False
     corr_res = nets.corr.apply(
         variables["corr"], data["ref_image"],
         data["real_image"] if train else None,
         data["input_semantics"], data["ref_semantics"],
-        rngs=rngs, mutable=corr_mutable, **kwargs)
+        rngs=rngs, mutable=corr_mutable, **corr_kwargs)
     if corr_mutable:
         corr_out, updates["corr"] = corr_res
     else:
