@@ -511,9 +511,14 @@ def conv3x3_dw_supported(x_shape, g_shape, *, reflect: bool = False,
     kernel's constraints) AND measured per-shape benefit (_DW_WINNERS,
     from tools/ab_dw.py on the real chip). COCOSNET_PALLAS_DW=all ignores
     the winners table (feasibility only — what the A/B tool measures);
-    =0 disables entirely."""
+    =1 routes the winners; the DEFAULT is 0 (off): the winners save
+    13.3 ms/step of standalone dW time (artifacts/ab_dw) but the
+    custom-VJP routing costs ~19 ms/step of forward-side fusion/layout
+    that XLA's own autodiff keeps — end-to-end A/B on the real chip,
+    batch 8: 19.32 img/s (XLA dW) vs 18.48-18.58 (gated Pallas dW).
+    Per-layer wins that lose end-to-end are the round-5 lesson, twice."""
     import os
-    mode = os.environ.get("COCOSNET_PALLAS_DW", "1")
+    mode = os.environ.get("COCOSNET_PALLAS_DW", "0")
     if mode in ("0", "false"):
         return False
     if not _is_tpu():
