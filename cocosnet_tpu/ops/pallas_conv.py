@@ -733,7 +733,7 @@ def _pick_tiles_onehot(ho: int, wo: int, cp: int, cop: int, itemsize: int):
     """(rows per block, cout tile) — the dense picker minus the wide input
     slabs (the label slab is int32 single-channel, ~free)."""
     def vmem(rr, ct):
-        return (2 * (rr + 2) * wo * 4                    # label slabs (i32)
+        return (2 * (rr + 2) * wo * 4                    # label blocks (i32)
                 + 2 * rr * wo * 3 * cp * itemsize        # x3 scratch + tap
                 + rr * wo * ct * 4                       # f32 acc
                 + 2 * 9 * cp * ct * itemsize             # k3 tile (piped)
@@ -758,39 +758,24 @@ def _pick_tiles_onehot(ho: int, wo: int, cp: int, cop: int, itemsize: int):
     return max(r, 1), cot
 
 
-def _onehot_kernel(r, wo, cp, cot, nh, leaky, want_stats,
-                   lab_hbm, k3_ref, b_ref, out_ref, *rest):
+def _onehot_kernel(r, wo, cp, cot, leaky, want_stats,
+                   lab_ref, k3_ref, b_ref, out_ref, *rest):
     if want_stats:
-        stats_ref, slab, x3_s, sem = rest
+        stats_ref, x3_s = rest
     else:
         stats_ref = None
-        slab, x3_s, sem = rest
-    ib = pl.program_id(0)
-    ih = pl.program_id(1)
+        (x3_s,) = rest
     j = pl.program_id(2)
-    step = ib * nh + ih
-    nsteps = pl.num_programs(0) * nh
-
-    def fetch(s):
-        b = s // nh
-        h = s % nh
-        return pltpu.make_async_copy(
-            lab_hbm.at[b, pl.ds(h * r, r + 2)],
-            slab.at[s % 2],
-            sem.at[s % 2],
-        )
-
-    @pl.when(jnp.logical_and(step == 0, j == 0))
-    def _():
-        fetch(0).start()
 
     @pl.when(j == 0)
     def _():
-        @pl.when(step + 1 < nsteps)
-        def _():
-            fetch(step + 1).start()
-        fetch(step).wait()
-        ids = slab[step % 2]                         # (R+2, W) int32
+        # The label block arrives via the ordinary Pallas pipeline: the
+        # overlapping (R+2)-row windows are pre-gathered in XLA (int32
+        # labels are ~1/300th the one-hot bytes, so the duplicated halo
+        # rows are free) — a manual DMA would have to slice the sublane
+        # dim of a (B, Hq, W) memref at offset h*r, which Mosaic requires
+        # to be 8-aligned (r is typically 4).
+        ids = lab_ref[0, 0]                          # (R+2, W) int32
         ids3 = jnp.concatenate(
             [ids[0:r][..., None], ids[1:r + 1][..., None],
              ids[2:r + 2][..., None]], axis=-1)      # (R, W, 3) dy-major
@@ -849,6 +834,10 @@ def conv3x3_onehot(labels: Array, kernel: Array, bias: Array | None, *,
     r, cot = tiles
     nh = ho // r
     nc = cop // cot
+    # Overlapping (R+2)-row windows as a leading grid dim, so the kernel's
+    # block fetch never slices the tiled sublane dim (see _onehot_kernel).
+    win = (jnp.arange(nh)[:, None] * r + jnp.arange(r + 2)[None, :])
+    labw = labq[:, win]                                # (B, nh, R+2, W)
 
     out_shape = [jax.ShapeDtypeStruct((b, ho, wo, cop), dtype)]
     out_specs = [pl.BlockSpec((1, r, wo, cot),
@@ -858,20 +847,18 @@ def conv3x3_onehot(labels: Array, kernel: Array, bias: Array | None, *,
         out_specs.append(pl.BlockSpec((1, 1, 2, cot),
                                       lambda ib, ih, j: (ib, ih, 0, j)))
     res = pl.pallas_call(
-        functools.partial(_onehot_kernel, r, wo, cp, cot, nh, leaky,
+        functools.partial(_onehot_kernel, r, wo, cp, cot, leaky,
                           want_stats),
         grid=(b, nh, nc),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),           # labels stay in HBM
+            pl.BlockSpec((1, 1, r + 2, wo), lambda ib, ih, j: (ib, ih, 0, 0)),
             pl.BlockSpec((3, 3 * cp, cot), lambda ib, ih, j: (0, 0, j)),
             pl.BlockSpec((1, cot), lambda ib, ih, j: (0, j)),
         ],
         out_specs=out_specs if want_stats else out_specs[0],
         out_shape=out_shape if want_stats else out_shape[0],
         scratch_shapes=[
-            pltpu.VMEM((2, r + 2, wo), jnp.int32),
             pltpu.VMEM((r, wo, 3 * cp), dtype),
-            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=not _is_tpu(),
         cost_estimate=pl.CostEstimate(
@@ -881,7 +868,7 @@ def conv3x3_onehot(labels: Array, kernel: Array, bias: Array | None, *,
                                 * jnp.dtype(dtype).itemsize),
             transcendentals=0,
         ),
-    )(labq, k3, b2)
+    )(labw, k3, b2)
     if not want_stats:
         return res[..., :cout] if cop != cout else res
     out, parts = res
